@@ -1,0 +1,280 @@
+"""DoG keypoint detection: extrema search, subpixel refinement, rejection.
+
+TPU re-design of the reference's per-octave keypoint machinery
+(FeatureFactory.cu:86-335, kernels :847-1008).  Instead of thrust
+stream-compaction over ragged per-blur lists, keypoints live in a
+fixed-capacity masked struct-of-arrays; every rejection pass just clears mask
+bits, and the 3x3x3 extrema search is a pair of reduce_windows over the
+(blurs, H, W) DoG stack.
+
+The refinement Newton iteration replicates the reference kernel *literally*,
+including its non-standard diagonal Hessian terms (H00 = g0 - 2*M rather than
+the true second difference, refineLocation FeatureFactory.cu:892-967) and the
+un-divided off-diagonal edge Hessian (flagEdges :974-990) — parity beats
+textbook correctness here.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ssrlcv_tpu.config import SIFTParams
+
+
+class SSKeyPoints(NamedTuple):
+    """Masked fixed-capacity scale-space keypoints for one octave
+    (SSKeyPoint, FeatureFactory.cuh:64-75)."""
+
+    blur: jax.Array       # (K,) int32 — DoG slice index (1..B-2 initially)
+    loc: jax.Array        # (K, 2) float32 — octave pixel coords (x, y)
+    intensity: jax.Array  # (K,) float32
+    sigma: jax.Array      # (K,) float32
+    theta: jax.Array      # (K,) float32 (filled by orientation pass)
+    mask: jax.Array       # (K,) bool
+
+    @property
+    def capacity(self) -> int:
+        return self.blur.shape[0]
+
+    def count(self):
+        return jnp.sum(self.mask.astype(jnp.int32))
+
+
+def detect_extrema(dog_raw: jax.Array, sigmas: tuple, capacity: int) -> SSKeyPoints:
+    """3x3x3 extrema over interior pixels of DoG slices 1..B-2
+    (findExtrema kernel, FeatureFactory.cu:847-881; ties count as extrema).
+
+    Ordering matches the reference: blur-major, then row-major pixel index
+    (the thrust::remove compaction preserves that order).
+    """
+    b, h, w = dog_raw.shape
+    nmax = jax.lax.reduce_window(
+        dog_raw, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "VALID"
+    )  # (B-2, H-2, W-2)
+    nmin = jax.lax.reduce_window(
+        dog_raw, jnp.inf, jax.lax.min, (3, 3, 3), (1, 1, 1), "VALID"
+    )
+    mid = dog_raw[1 : b - 1, 1 : h - 1, 1 : w - 1]
+    is_ext = (mid == nmax) | (mid == nmin)
+
+    flat = is_ext.reshape(-1)
+    idx = jnp.nonzero(flat, size=capacity, fill_value=-1)[0]
+    valid = idx >= 0
+    idx_c = jnp.maximum(idx, 0)
+    per = (h - 2) * (w - 2)
+    blur = idx_c // per + 1
+    rem = idx_c % per
+    y = rem // (w - 2) + 1
+    x = rem % (w - 2) + 1
+    intensity = dog_raw[blur, y, x]
+    sig = jnp.asarray(sigmas, dog_raw.dtype)[blur]
+    return SSKeyPoints(
+        blur=blur.astype(jnp.int32),
+        loc=jnp.stack([x, y], axis=-1).astype(jnp.float32),
+        intensity=jnp.where(valid, intensity, 0.0),
+        sigma=sig,
+        theta=jnp.full((capacity,), -1.0, jnp.float32),
+        mask=valid,
+    )
+
+
+def remove_noise(kps: SSKeyPoints, threshold: float) -> SSKeyPoints:
+    """|intensity| < threshold -> discard (flagNoise, FeatureFactory.cu:968)."""
+    keep = kps.mask & (jnp.abs(kps.intensity) >= threshold)
+    return kps._replace(mask=keep)
+
+
+def _patch3(dog: jax.Array, blur, y, x):
+    """3x3x3 patch centred at (blur, y, x) (dynamic_slice auto-clamps)."""
+    return jax.lax.dynamic_slice(dog, (blur - 1, y - 1, x - 1), (3, 3, 3))
+
+
+def _inv3(m: jax.Array) -> jax.Array:
+    """Adjugate 3x3 inverse (matrix_util inverse); singular -> inf entries,
+    which fail the |offset|<=0.5 acceptance just like the reference's
+    garbage output would."""
+    det = jnp.linalg.det(m)
+    adj = jnp.stack(
+        [
+            jnp.stack([m[1, 1] * m[2, 2] - m[1, 2] * m[2, 1],
+                       m[0, 2] * m[2, 1] - m[0, 1] * m[2, 2],
+                       m[0, 1] * m[1, 2] - m[0, 2] * m[1, 1]]),
+            jnp.stack([m[1, 2] * m[2, 0] - m[1, 0] * m[2, 2],
+                       m[0, 0] * m[2, 2] - m[0, 2] * m[2, 0],
+                       m[0, 2] * m[1, 0] - m[0, 0] * m[1, 2]]),
+            jnp.stack([m[1, 0] * m[2, 1] - m[1, 1] * m[2, 0],
+                       m[0, 1] * m[2, 0] - m[0, 0] * m[2, 1],
+                       m[0, 0] * m[1, 1] - m[0, 1] * m[1, 0]]),
+        ]
+    )
+    return adj / det
+
+
+def refine_keypoints(
+    kps: SSKeyPoints,
+    dog_norm: jax.Array,
+    sigma_min: float,
+    blur_multiplier: float,
+    max_attempts: int = 5,
+) -> SSKeyPoints:
+    """Iterative 3-D quadratic subpixel refinement over the *normalised* DoG
+    (refineLocation kernel, FeatureFactory.cu:892-967), vmapped over the
+    keypoint capacity with a fori_loop over Newton attempts."""
+    nblurs, h, w = dog_norm.shape
+
+    def refine_one(blur0, loc0, sigma0, int0, valid0):
+        x0 = jnp.round(loc0[0]).astype(jnp.int32)
+        y0 = jnp.round(loc0[1]).astype(jnp.int32)
+        # state: x, y, blur, loc_f(2), sigma, intensity, discard, done
+        state = (x0, y0, blur0, loc0, sigma0, int0, ~valid0, ~valid0)
+
+        def body(_, st):
+            x, y, blur, loc_f, sigma, inten, discard, done = st
+            p = _patch3(dog_norm, blur, y, x)  # L/M/U = p[0]/p[1]/p[2]
+            L, M, U = p[0], p[1], p[2]
+            g = jnp.stack([M[1, 2] - M[1, 0], M[2, 1] - M[0, 1], U[1, 1] - L[1, 1]])
+            m = M[1, 1]
+            h00 = g[0] - 2.0 * m
+            h11 = g[1] - 2.0 * m
+            h22 = g[2] - 2.0 * m
+            h01 = (M[2, 2] - M[0, 2] - M[2, 0] + M[0, 0]) / 4.0
+            h02 = (U[1, 2] - L[1, 2] - U[1, 0] + L[1, 0]) / 4.0
+            h12 = (U[2, 1] - L[2, 1] - U[0, 1] + L[0, 1]) / 4.0
+            H = -jnp.stack(
+                [
+                    jnp.stack([h00, h01, h02]),
+                    jnp.stack([h01, h11, h12]),
+                    jnp.stack([h02, h12, h22]),
+                ]
+            )
+            Hinv = _inv3(H)
+            offset = Hinv @ g
+            temp = g @ H  # row-vector times matrix (reference multiply(g,H,temp))
+            finite = jnp.all(jnp.isfinite(offset))
+            accept = finite & jnp.all(jnp.abs(offset) <= 0.5)
+
+            # --- accept branch ---
+            new_loc_f = jnp.stack([x + offset[0], y + offset[1]]).astype(jnp.float32)
+            nx = jnp.round(new_loc_f[0]).astype(jnp.int32)
+            ny = jnp.round(new_loc_f[1]).astype(jnp.int32)
+            on_border_a = (nx <= 0) | (ny <= 0) | (nx >= w - 1) | (ny >= h - 1)
+            new_int = dog_norm[blur, ny, nx] - 0.5 * jnp.dot(temp, g)
+            new_sigma = sigma_min * blur_multiplier ** (blur.astype(jnp.float32) + offset[2])
+            blur_a = jnp.where(
+                jnp.abs(offset[2]) > 0.5, blur + jnp.where(offset[2] > 0, 1, -1), blur
+            )
+
+            # --- move branch ---
+            mx = x + jnp.where(jnp.abs(offset[0]) > 0.5, jnp.where(offset[0] > 0, 1, -1), 0)
+            my = y + jnp.where(jnp.abs(offset[1]) > 0.5, jnp.where(offset[1] > 0, 1, -1), 0)
+            blur_m = blur + jnp.where(
+                jnp.abs(offset[2]) > 0.5, jnp.where(offset[2] > 0, 1, -1), 0
+            )
+            dead_m = (
+                (blur_m >= nblurs - 1) | (blur_m <= 0)
+                | (mx <= 0) | (my <= 0) | (mx >= w - 1) | (my >= h - 1)
+            )
+
+            x2 = jnp.where(accept, nx, mx)
+            y2 = jnp.where(accept, ny, my)
+            blur2 = jnp.where(accept, blur_a, blur_m)
+            loc2 = jnp.where(accept, new_loc_f, jnp.stack([mx, my]).astype(jnp.float32))
+            sigma2 = jnp.where(accept, new_sigma, sigma)
+            int2 = jnp.where(accept & ~on_border_a, new_int, inten)
+            discard2 = jnp.where(accept, on_border_a, dead_m)
+            done2 = accept | dead_m
+
+            keep_old = done
+            return (
+                jnp.where(keep_old, x, x2),
+                jnp.where(keep_old, y, y2),
+                jnp.where(keep_old, blur, blur2),
+                jnp.where(keep_old, loc_f, loc2),
+                jnp.where(keep_old, sigma, sigma2),
+                jnp.where(keep_old, inten, int2),
+                jnp.where(keep_old, discard, discard2),
+                done | done2,
+            )
+
+        x, y, blur, loc_f, sigma, inten, discard, done = jax.lax.fori_loop(
+            0, max_attempts, body, state
+        )
+        # attempts exhausted without acceptance -> discard (attempt==4 branch)
+        discard = discard | ~done
+        return blur, loc_f, sigma, inten, ~discard & valid0
+
+    blur, loc, sigma, inten, keep = jax.vmap(refine_one)(
+        kps.blur, kps.loc, kps.sigma, kps.intensity, kps.mask
+    )
+    return SSKeyPoints(
+        blur=blur, loc=loc, intensity=inten, sigma=sigma, theta=kps.theta, mask=keep
+    )
+
+
+def remove_edges(kps: SSKeyPoints, dog_norm: jax.Array, threshold: float) -> SSKeyPoints:
+    """2x2 Hessian edgeness rejection (flagEdges, FeatureFactory.cu:974-990;
+    note off-diagonal is NOT divided by 4 in the reference — replicated)."""
+    _, h, w = dog_norm.shape
+
+    def edge_one(blur, loc, valid):
+        x = jnp.clip(jnp.round(loc[0]).astype(jnp.int32), 1, w - 2)
+        y = jnp.clip(jnp.round(loc[1]).astype(jnp.int32), 1, h - 2)
+        M = jax.lax.dynamic_slice(dog_norm, (blur, y - 1, x - 1), (1, 3, 3))[0]
+        h00 = -2.0 * M[1, 1] + M[1, 2] + M[1, 0]
+        h11 = -2.0 * M[1, 1] + M[2, 1] + M[0, 1]
+        h01 = M[2, 2] - M[0, 2] - M[2, 0] + M[0, 0]
+        tr = h00 + h11
+        det = h00 * h11 - h01 * h01
+        edgeness = tr * tr / det
+        return valid & ~(edgeness > threshold)
+
+    keep = jax.vmap(edge_one)(kps.blur, kps.loc, kps.mask)
+    return kps._replace(mask=keep)
+
+
+def check_descriptor_border(
+    kps: SSKeyPoints, image_size: tuple[int, int], lambda_desc: float, pixel_width: float
+) -> SSKeyPoints:
+    """Drop keypoints whose descriptor window leaves the image
+    (checkKeyPoints, SIFT_FeatureFactory.cu:449-462; width = sigma*lambda/pw,
+    not ceil'd)."""
+    h, w = image_size
+    ww = kps.sigma * lambda_desc / pixel_width
+    keep = (
+        kps.mask
+        & (kps.loc[:, 0] - ww >= 0.0)
+        & (kps.loc[:, 1] - ww >= 0.0)
+        & (kps.loc[:, 0] + ww < w - 1)
+        & (kps.loc[:, 1] + ww < h - 1)
+    )
+    return kps._replace(mask=keep)
+
+
+def find_keypoints_octave(
+    dog_raw: jax.Array,
+    dog_norm: jax.Array,
+    sigmas: tuple,
+    params: SIFTParams,
+    capacity: int,
+) -> SSKeyPoints:
+    """Full per-octave detection chain in reference order
+    (findKeyPoints, FeatureFactory.cu:461-509):
+    extrema(raw) -> noise(0.8t, raw intensity) -> subpixel refine(norm)
+    -> noise(t, refined intensity) -> edges(norm)."""
+    kps = detect_extrema(dog_raw, sigmas, capacity)
+    kps = remove_noise(kps, params.noise_threshold * 0.8)
+    if params.subpixel:
+        kps = refine_keypoints(
+            kps,
+            dog_norm,
+            sigma_min=float(sigmas[0]),
+            blur_multiplier=float(sigmas[1]) / float(sigmas[0]),
+            max_attempts=params.max_refine_attempts,
+        )
+        kps = remove_noise(kps, params.noise_threshold)
+    kps = remove_edges(kps, dog_norm, params.edge_threshold)
+    return kps

@@ -1,0 +1,149 @@
+"""SIFT feature generation — the full front end.
+
+TPU re-design of SIFT_FeatureFactory::generateFeatures
+(SIFT_FeatureFactory.cu:17-169): DoG scale space -> keypoint detection ->
+descriptor-border check -> orientation assignment -> descriptor fill,
+aggregated across octaves into one fixed-capacity FeatureSet.
+
+Per-image work is one jit-compiled program per octave shape; all ragged
+compaction is masked.  Feature ordering follows the reference: octave-major,
+then blur bucket, then detection order (host-side stable grouping at the
+aggregation step).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssrlcv_tpu.config import SIFTParams
+from ssrlcv_tpu.core.types import FeatureSet
+from ssrlcv_tpu.features import scale_space as ss
+from ssrlcv_tpu.features.descriptor import fill_descriptors
+from ssrlcv_tpu.features.detector import check_descriptor_border, find_keypoints_octave
+from ssrlcv_tpu.features.orientation import compute_orientations
+from ssrlcv_tpu.ops import image_ops as ops
+
+
+def octave_capacity(params: SIFTParams, octave_index: int, height: int, width: int) -> int:
+    """Static keypoint capacity per octave: a generous fraction of the
+    octave's pixel count (extrema are sparse; overflow drops the tail and is
+    reported via the count)."""
+    scale = 2 ** (params.starting_octave + octave_index)
+    h = max(height // scale if scale >= 1 else height * int(1 / scale), 1) if scale >= 1 else height * 2
+    # simpler: octave pixel count = (H*W) / scale^2 (scale may be 0.5)
+    npix = int(height * width / (scale * scale))
+    cap = max(1024, npix // 64)
+    # round to a lane-friendly multiple
+    return ((cap + 127) // 128) * 128
+
+
+@partial(jax.jit, static_argnames=("params", "height", "width", "octave_index", "capacity"))
+def _features_for_octave(
+    dog_raw, dog_norm, params: SIFTParams, height: int, width: int,
+    octave_index: int, capacity: int,
+):
+    sigmas = tuple(ss.octave_sigmas(params, octave_index))[: params.blurs_per_octave - 1]
+    pixel_width = float(2.0 ** (params.starting_octave + octave_index))
+
+    kps = find_keypoints_octave(dog_raw, dog_norm, sigmas, params, capacity)
+    oh, ow = dog_raw.shape[1], dog_raw.shape[2]
+    kps = check_descriptor_border(kps, (oh, ow), params.descriptor_contrib_width, pixel_width)
+
+    # gradients of each normalised DoG slice (Blur::computeGradients on the
+    # DOG scale space — orientation and descriptors both read these)
+    grads = jax.vmap(ops.pixel_gradients)(dog_norm)  # (B-1, H, W, 2)
+
+    oriented = compute_orientations(grads, kps, pixel_width, params)
+    desc, loc_image = fill_descriptors(grads, oriented, pixel_width, params)
+    return (
+        oriented.blur, loc_image, oriented.sigma, oriented.theta, desc, oriented.mask,
+    )
+
+
+def generate_features(
+    pixels: np.ndarray | jax.Array,
+    params: Optional[SIFTParams] = None,
+    image_id: int = -1,
+) -> FeatureSet:
+    """Generate SIFT features for one grayscale uint8 image.
+
+    Mirrors generateFeatures(image, dense=false, maxOrientations=2,
+    orientationThreshold=0.8) with the Appendix-A defaults; returns a
+    host-compacted FeatureSet ordered (octave, blur bucket, detection order)
+    like the reference's aggregated Unity<Feature<SIFT_Descriptor>>.
+    """
+    params = params or SIFTParams()
+    pixels = jnp.asarray(pixels)
+    if pixels.ndim == 3:
+        pixels = ops.to_bw(pixels)
+    h, w = int(pixels.shape[0]), int(pixels.shape[1])
+
+    octaves = ss.build_scale_space(pixels, params, h, w)
+
+    blurs_all, locs_all, sig_all, theta_all, desc_all, mask_all, octs_all = (
+        [], [], [], [], [], [], []
+    )
+    for o, octave in enumerate(octaves):
+        cap = octave_capacity(params, o, h, w)
+        blur, loc, sigma, theta, desc, mask = _features_for_octave(
+            octave.dog_raw, octave.dog_norm, params, h, w, o, cap
+        )
+        blurs_all.append(np.asarray(blur))
+        locs_all.append(np.asarray(loc))
+        sig_all.append(np.asarray(sigma))
+        theta_all.append(np.asarray(theta))
+        desc_all.append(np.asarray(desc))
+        mask_all.append(np.asarray(mask))
+        octs_all.append(np.full(mask_all[-1].shape, o))
+
+    # host aggregation with reference ordering: octave, then blur bucket
+    # (stable), then detection order
+    blur = np.concatenate(blurs_all)
+    loc = np.concatenate(locs_all)
+    sigma = np.concatenate(sig_all)
+    theta = np.concatenate(theta_all)
+    desc = np.concatenate(desc_all)
+    mask = np.concatenate(mask_all)
+    octv = np.concatenate(octs_all)
+
+    sel = np.nonzero(mask)[0]
+    order = np.lexsort((sel, blur[sel], octv[sel]))  # stable (octave, blur)
+    sel = sel[order]
+
+    n = len(sel)
+    cap = params.max_keypoints
+    if n > cap:
+        sel = sel[:cap]
+        n = cap
+    out = FeatureSet.empty(cap, parent=image_id)
+    out = FeatureSet(
+        loc=out.loc.at[:n].set(jnp.asarray(loc[sel])),
+        sigma=out.sigma.at[:n].set(jnp.asarray(sigma[sel])),
+        theta=out.theta.at[:n].set(jnp.asarray(theta[sel])),
+        descriptors=out.descriptors.at[:n].set(jnp.asarray(desc[sel])),
+        mask=out.mask.at[:n].set(True),
+        parent=out.parent,
+    )
+    return out
+
+
+def features_from_refdata(feat_dict: dict, capacity: Optional[int] = None, parent: int = -1) -> FeatureSet:
+    """Build a FeatureSet from a reference .uty feature dump
+    (io.refdata.read_sift_features) — used for golden tests and seed
+    features."""
+    n = len(feat_dict["loc"])
+    cap = capacity or ((n + 127) // 128) * 128
+    fs = FeatureSet.empty(cap, parent=parent)
+    return FeatureSet(
+        loc=fs.loc.at[:n].set(jnp.asarray(feat_dict["loc"])),
+        sigma=fs.sigma.at[:n].set(jnp.asarray(feat_dict["sigma"])),
+        theta=fs.theta.at[:n].set(jnp.asarray(feat_dict["theta"])),
+        descriptors=fs.descriptors.at[:n].set(jnp.asarray(feat_dict["values"])),
+        mask=fs.mask.at[:n].set(True),
+        parent=fs.parent.at[:n].set(jnp.asarray(feat_dict["parent"])),
+    )
