@@ -1,0 +1,202 @@
+"""Feature matching: brute force, F-matrix constrained, Earth-segment
+("double") constrained.
+
+TPU re-design of MatchFactory (MatchFactory.cuh:131-311, MatchFactory.cu).
+Match generation is one chunked MXU distance sweep with the epipolar
+predicate fused into the distance mask; thresholds and invalidation follow
+the reference kernels exactly:
+
+  * best-target = argmin distance among targets passing the constraint
+  * invalid if best_dist >= absoluteThreshold
+    (matchFeaturesDoubleConstrained, MatchFactory.cu:2272-2289)
+  * with seed distances: also invalid if
+    best_dist / seed_dist > relativeThreshold^2
+  * the "double constrained" predicate is the reference's literal test:
+    x-range gate around the segment endpoints plus *vertical* distance to
+    the segment's line (not perpendicular), MatchFactory.cu:1551-1567.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ssrlcv_tpu.config import MatchParams
+from ssrlcv_tpu.core import camera_math
+from ssrlcv_tpu.core.types import Cameras, FeatureSet, MatchSet
+from ssrlcv_tpu.matching.distance import best_target_chunked, min_distance
+
+
+class DMatches(NamedTuple):
+    """Per-query match results (the reference's Unity<DMatch>)."""
+
+    target_idx: jax.Array  # (Nq,) int32
+    distance: jax.Array    # (Nq,) float32
+    valid: jax.Array       # (Nq,) bool
+
+
+def seed_distances(features: FeatureSet, seed: FeatureSet, chunk: int = 1024) -> jax.Array:
+    """Nearest seed-descriptor distance per feature
+    (MatchFactory::getSeedDistances, MatchFactory.cu:315-346)."""
+    return min_distance(features.descriptors, seed.descriptors, seed.mask, chunk=chunk)
+
+
+def _epipolar_segment_mask(p1, p2, t_loc, epsilon):
+    """The double-constrained acceptance test (MatchFactory.cu:1551-1567):
+    p1, p2: (C, 2) projected segment endpoints; t_loc: (Nt, 2).
+    Returns (C, Nt) bool."""
+    swap = p1[:, 0] >= p2[:, 0]
+    left = jnp.where(swap[:, None], p2, p1)
+    right = jnp.where(swap[:, None], p1, p2)
+    tx = t_loc[None, :, 0]
+    ty = t_loc[None, :, 1]
+
+    in_x = (tx >= (left[:, 0] - epsilon)[:, None]) & (tx <= (right[:, 0] + epsilon)[:, None])
+
+    vertical = (left[:, 0] == right[:, 0])[:, None]
+    top = jnp.minimum(p1[:, 1], p2[:, 1])[:, None]
+    bottom = jnp.maximum(p1[:, 1], p2[:, 1])[:, None]
+    vert_ok = (top - epsilon <= ty) & (bottom + epsilon >= ty)
+
+    dx = left[:, 0] - right[:, 0]
+    slope = (left[:, 1] - right[:, 1]) / jnp.where(dx == 0, 1.0, dx)
+    y_line = slope[:, None] * (tx - left[:, 0][:, None]) + left[:, 1][:, None]
+    line_ok = jnp.abs(y_line - ty) <= epsilon
+
+    return in_x & jnp.where(vertical, vert_ok, line_ok)
+
+
+def _fmatrix_mask(q_loc, F, t_loc, epsilon):
+    """Plain epipolar-line constraint (matchFeaturesConstrained,
+    MatchFactory.cu:1598-1660): perpendicular distance of the target point
+    to the epipolar line F @ [q, 1]."""
+    qh = jnp.concatenate([q_loc, jnp.ones_like(q_loc[:, :1])], axis=1)  # (C, 3)
+    lines = jnp.einsum("ij,cj->ci", F, qh, precision="highest")          # (C, 3)
+    d = (
+        lines[:, None, 0] * t_loc[None, :, 0]
+        + lines[:, None, 1] * t_loc[None, :, 1]
+        + lines[:, None, 2]
+    )
+    norm = jnp.sqrt(lines[:, 0] ** 2 + lines[:, 1] ** 2)[:, None]
+    return jnp.abs(d) / jnp.maximum(norm, 1e-20) <= epsilon
+
+
+@partial(jax.jit, static_argnames=("params", "chunk"))
+def match_double_constrained(
+    query: FeatureSet,
+    target: FeatureSet,
+    cameras: Cameras,
+    query_index: int | jax.Array,
+    target_index: int | jax.Array,
+    params: MatchParams,
+    seed_dist: Optional[jax.Array] = None,
+    chunk: int = 1024,
+) -> DMatches:
+    """Earth-geometry epipolar-segment constrained matching
+    (generateDistanceMatchesDoubleConstrained, MatchFactory.cu:600-652)."""
+    qi, ti = query_index, target_index
+    P = camera_math.projection_matrix(
+        cameras.cam_pos[ti], cameras.cam_rot[ti], cameras.foc[ti],
+        cameras.dpix[ti], cameras.size[ti], cameras.ecef_offset[ti],
+    )
+    p1, p2 = camera_math.epipolar_segment_endpoints(
+        query.loc,
+        cameras.cam_pos[qi], cameras.cam_rot[qi], cameras.foc[qi],
+        cameras.dpix[qi], cameras.size[qi], cameras.ecef_offset[qi],
+        P, params.delta,
+    )
+
+    idx, dist = best_target_chunked(
+        query.descriptors, target.descriptors, target.mask,
+        mask_fn=lambda a, b: _epipolar_segment_mask(a, b, target.loc, params.epsilon),
+        mask_aux=(p1, p2),
+        chunk=chunk,
+    )
+    return _threshold(idx, dist, query.mask, params, seed_dist)
+
+
+@partial(jax.jit, static_argnames=("params", "chunk"))
+def match_brute_force(
+    query: FeatureSet,
+    target: FeatureSet,
+    params: MatchParams,
+    seed_dist: Optional[jax.Array] = None,
+    chunk: int = 1024,
+) -> DMatches:
+    """Unconstrained kNN matching (generateDistanceMatches,
+    MatchFactory.cu:500-560)."""
+    idx, dist = best_target_chunked(
+        query.descriptors, target.descriptors, target.mask, chunk=chunk
+    )
+    return _threshold(idx, dist, query.mask, params, seed_dist)
+
+
+@partial(jax.jit, static_argnames=("params", "chunk"))
+def match_fmatrix_constrained(
+    query: FeatureSet,
+    target: FeatureSet,
+    F: jax.Array,
+    params: MatchParams,
+    seed_dist: Optional[jax.Array] = None,
+    chunk: int = 1024,
+) -> DMatches:
+    """F-matrix epipolar-line constrained matching
+    (generateDistanceMatchesConstrained, MatchFactory.cu:560-600)."""
+    idx, dist = best_target_chunked(
+        query.descriptors, target.descriptors, target.mask,
+        mask_fn=lambda q: _fmatrix_mask(q, F, target.loc, params.epsilon),
+        mask_aux=(query.loc,),
+        chunk=chunk,
+    )
+    return _threshold(idx, dist, query.mask, params, seed_dist)
+
+
+def _threshold(idx, dist, q_mask, params: MatchParams, seed_dist):
+    valid = q_mask & jnp.isfinite(dist) & (dist < params.absolute_threshold)
+    if seed_dist is not None:
+        # reference: invalid if dist/seed > relativeThreshold^2
+        # (MatchFactory.cu:2278)
+        valid = valid & (
+            dist / jnp.maximum(seed_dist, 1e-20) <= params.relative_threshold ** 2
+        )
+    return DMatches(target_idx=idx, distance=dist, valid=valid)
+
+
+def matches_to_matchset(
+    dm: DMatches,
+    query: FeatureSet,
+    target: FeatureSet,
+    query_id: int,
+    target_id: int,
+    capacity: Optional[int] = None,
+) -> MatchSet:
+    """Assemble the 2-view MatchSet (Pipeline.cu:210-222): keyPoints[2i] =
+    query kp, [2i+1] = matched target kp, track order = query order
+    compacted over valid matches (host-side, stable)."""
+    import numpy as np
+
+    valid = np.asarray(dm.valid)
+    sel = np.nonzero(valid)[0]
+    n = len(sel)
+    cap = capacity or max(((n + 127) // 128) * 128, 128)
+    tgt = np.asarray(dm.target_idx)[sel]
+
+    kp_loc = np.zeros((cap, 2, 2), np.float32)
+    kp_par = np.full((cap, 2), -1, np.int32)
+    kp_loc[:n, 0] = np.asarray(query.loc)[sel]
+    kp_loc[:n, 1] = np.asarray(target.loc)[tgt]
+    kp_par[:n, 0] = query_id
+    kp_par[:n, 1] = target_id
+    nv = np.zeros(cap, np.int32)
+    nv[:n] = 2
+    mask = np.zeros(cap, bool)
+    mask[:n] = True
+    return MatchSet(
+        kp_loc=jnp.asarray(kp_loc),
+        kp_parent=jnp.asarray(kp_par),
+        num_views=jnp.asarray(nv),
+        mask=jnp.asarray(mask),
+    )
