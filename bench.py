@@ -1,0 +1,84 @@
+"""End-to-end reconstruction benchmark on real hardware.
+
+Runs the full 2-view pipeline (SIFT x2 -> seeded double-constrained matching
+-> triangulation -> filtering -> BA) on the everest1024 fixture pair and
+prints ONE JSON line:
+
+    {"metric": "reconstruction_fps", "value": N, "unit": "frames/s",
+     "vs_baseline": N}
+
+Baseline: the reference's CI budget for the same end-to-end 2-view run is a
+30-minute Slurm limit on a K40 (scripts/sub-run-sfm-2.sh, BASELINE.md) =
+2 frames / 1800 s.  vs_baseline is ours / that.
+"""
+
+import json
+import os
+import sys
+import time
+
+FIXTURE = "/root/reference/test/checkpoints/Pipeline2View"
+BASELINE_FPS = 2.0 / 1800.0  # reference CI budget: 2-view e2e in 30 min on K40
+
+
+def run_once(fx, cams, seed_features):
+    import numpy as np
+
+    from ssrlcv_tpu.ba.two_view import bundle_adjust_two_view
+    from ssrlcv_tpu.config import MatchParams
+    from ssrlcv_tpu.features.sift import generate_features
+    from ssrlcv_tpu.geometry import filters as F
+    from ssrlcv_tpu.geometry.bundles import generate_bundles
+    from ssrlcv_tpu.geometry.triangulation import two_view_triangulate
+    from ssrlcv_tpu.matching import match as M
+
+    f0 = generate_features(fx["images"][0].pixels, image_id=0)
+    f1 = generate_features(fx["images"][1].pixels, image_id=1)
+    sd = M.seed_distances(f0, seed_features)
+    params = MatchParams(epsilon=25.0, delta=5.0)
+    dm = M.match_double_constrained(f0, f1, cams, 0, 1, params, seed_dist=sd)
+    ms = M.matches_to_matchset(dm, f0, f1, 0, 1)
+    ms = F.linear_cutoff_filter(ms, cams, 100.0)
+    ms = F.deterministic_statistical_filter(ms, cams, 3.0, 10)
+    r = bundle_adjust_two_view(ms, cams, iterations=10, mode="lm")
+    pts = np.asarray(r.cloud.points)
+    n = int(np.asarray(ms.mask).sum())
+    assert n > 1000, f"reconstruction collapsed: {n} points"
+    return n, float(r.final_error)
+
+
+def main():
+    if not os.path.isdir(FIXTURE):
+        print(json.dumps({"metric": "reconstruction_fps", "value": 0.0,
+                          "unit": "frames/s", "vs_baseline": 0.0,
+                          "error": "fixture not mounted"}))
+        return
+
+    from ssrlcv_tpu.features.sift import features_from_refdata
+    from ssrlcv_tpu.io import refdata
+    from ssrlcv_tpu.io.images import cameras_from_refimages
+
+    fx = refdata.load_fixture_dir(FIXTURE, 2)
+    cams = cameras_from_refimages(fx["images"])
+    seed = features_from_refdata(fx["seed_features"])
+
+    # warmup (compilation)
+    run_once(fx, cams, seed)
+    t0 = time.perf_counter()
+    n_points, final_err = run_once(fx, cams, seed)
+    elapsed = time.perf_counter() - t0
+
+    fps = 2.0 / elapsed
+    print(json.dumps({
+        "metric": "reconstruction_fps",
+        "value": round(fps, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 2),
+        "e2e_seconds": round(elapsed, 2),
+        "points": n_points,
+        "ba_final_error": round(final_err, 6),
+    }))
+
+
+if __name__ == "__main__":
+    main()

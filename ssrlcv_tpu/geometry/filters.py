@@ -60,7 +60,9 @@ def deterministic_statistical_filter(
     if two_view:
         pc, _ = two_view_triangulate(bd)
     else:
-        pc, _ = n_view_triangulate(bd)
+        # bug-compatible reference error (last-view^2/numLines) so the
+        # variance cutoff reproduces the golden filtered sets
+        pc, _ = n_view_triangulate(bd, reference_error_mode=True)
     errors = pc.errors
     valid = matches.mask & pc.mask
 
@@ -96,7 +98,9 @@ def nondeterministic_statistical_filter(
     if two_view:
         pc, _ = two_view_triangulate(bd)
     else:
-        pc, _ = n_view_triangulate(bd)
+        # bug-compatible reference error (last-view^2/numLines) so the
+        # variance cutoff reproduces the golden filtered sets
+        pc, _ = n_view_triangulate(bd, reference_error_mode=True)
     errors = pc.errors
     valid = matches.mask & pc.mask
 

@@ -59,8 +59,8 @@ def two_view_triangulate(bundles: Bundles, cutoff: jax.Array | float = jnp.inf) 
     return PointCloud(points=point, errors=err_masked, mask=valid), total
 
 
-@jax.jit
-def n_view_triangulate(bundles: Bundles) -> tuple[PointCloud, jax.Array]:
+@partial(jax.jit, static_argnames=("reference_error_mode",))
+def n_view_triangulate(bundles: Bundles, reference_error_mode: bool = False) -> tuple[PointCloud, jax.Array]:
     """N-view least-squares line intersection.
 
     Replicates computeNViewTriangulate (PointCloudFactory.cu:4880-5293):
@@ -102,7 +102,15 @@ def n_view_triangulate(bundles: Bundles) -> tuple[PointCloud, jax.Array]:
     d = _cross(a, b)
     dist = jnp.linalg.norm(d, axis=-1) / jnp.maximum(jnp.linalg.norm(c, axis=-1), 1e-20)
     sq = (dist ** 2) * view_mask
-    err = jnp.sum(sq, axis=1) / jnp.maximum(bundles.num_views.astype(v.dtype), 1.0)
+    nv = jnp.maximum(bundles.num_views.astype(v.dtype), 1.0)
+    if reference_error_mode:
+        # bug-compatible: the reference's error loop overwrites instead of
+        # accumulating (PointCloudFactory.cu:4986-5005), so the reported
+        # per-point error is (last view's squared distance) / numLines
+        last = jnp.maximum(bundles.num_views - 1, 0)
+        err = jnp.take_along_axis(sq, last[:, None], axis=1)[:, 0] / nv
+    else:
+        err = jnp.sum(sq, axis=1) / nv
 
     valid = bundles.mask & ok
     err = jnp.where(valid, err, 0.0)

@@ -1,0 +1,149 @@
+"""N-view exhaustive matching and track building.
+
+Pairwise matching runs on device (the MXU matcher); the transitive-chain
+track assembly is a faithful transliteration of the reference's host
+algorithm (generateMatchesExhaustive, MatchFactory.cu:907-1028), including
+its quirks:
+
+  * adjacency entries sorted lexicographically by (image, feature) — the
+    pair loop emits them in target-image order so they arrive sorted;
+  * a chain is accepted only if each next hop's adjacency set is a subset of
+    the previous one (full set_intersection check), rejected otherwise;
+  * tracks are only rooted at query images 0..n-3 (the reference's inner
+    loop guard ``i < images.size() - 2`` skips the last pair);
+  * consumed adjacency lists are cleared so no keypoint appears in two
+    tracks.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ssrlcv_tpu.config import MatchParams
+from ssrlcv_tpu.core.types import Cameras, FeatureSet, MatchSet
+
+
+def pairwise_index_matches(
+    features: list[FeatureSet],
+    cameras: Cameras,
+    params: MatchParams,
+    seed_features: Optional[FeatureSet] = None,
+) -> dict[tuple[int, int], np.ndarray]:
+    """Best-match index pairs for every (i < j) image pair
+    (generateMatchesDoubleConstrainedIndexOnly per pair).
+    Returns {(i, j): (n, 2) array of (query_feature, target_feature)}."""
+    from ssrlcv_tpu.matching import match as M
+
+    n = len(features)
+    out = {}
+    for i in range(n - 1):
+        sd = (
+            M.seed_distances(features[i], seed_features)
+            if seed_features is not None
+            else None
+        )
+        for j in range(i + 1, n):
+            if params.mode == "double":
+                dm = M.match_double_constrained(
+                    features[i], features[j], cameras, i, j, params, seed_dist=sd
+                )
+            else:
+                dm = M.match_brute_force(features[i], features[j], params, seed_dist=sd)
+            valid = np.asarray(dm.valid)
+            qf = np.nonzero(valid)[0]
+            tf = np.asarray(dm.target_idx)[qf]
+            out[(i, j)] = np.stack([qf, tf], axis=1).astype(np.int64)
+    return out
+
+
+def build_tracks(
+    pair_matches: dict[tuple[int, int], np.ndarray],
+    num_images: int,
+    feature_counts: list[int],
+) -> list[list[tuple[int, int]]]:
+    """Adjacency-chain track assembly (MatchFactory.cu:946-1010).
+    Returns a list of tracks, each a list of (image, feature) pairs."""
+    adjacency: list[dict[int, list[tuple[int, int]]]] = [
+        {} for _ in range(num_images - 1)
+    ]
+    for (i, j), pairs in sorted(pair_matches.items()):
+        for qf, tf in pairs:
+            adjacency[i].setdefault(int(qf), []).append((j, int(tf)))
+    # entries are appended in increasing j per construction -> sorted
+
+    tracks: list[list[tuple[int, int]]] = []
+    for i in range(num_images - 1):
+        if i >= num_images - 2:
+            # reference guard: ``i < images.size() - 2`` — tracks are never
+            # rooted at the second-to-last image
+            break
+        adj_i = adjacency[i]
+        for f in sorted(adj_i.keys()):
+            adj = adj_i[f]
+            if not adj:
+                continue
+            bad = False
+            prev_adj = adj
+            while True:
+                jx, jy = prev_adj[0]
+                if jx == num_images - 1:
+                    break
+                next_adj = adjacency[jx].get(jy, [])
+                if not next_adj:
+                    break
+                inter = [e for e in prev_adj if e in set(next_adj)]
+                if len(inter) != len(next_adj):
+                    bad = True
+                    break
+                elif len(next_adj) == 1:
+                    break
+                else:
+                    prev_adj = next_adj
+            if bad:
+                adj_i[f] = []
+            else:
+                track = [(i, f)] + list(adj)
+                tracks.append(track)
+                # clear consumed adjacency (all but the last hop)
+                for (mx, my) in adj[:-1]:
+                    if mx == num_images - 1:
+                        break
+                    if mx < num_images - 1:
+                        adjacency[mx][my] = []
+    return tracks
+
+
+def generate_matches_exhaustive(
+    features: list[FeatureSet],
+    cameras: Cameras,
+    params: MatchParams,
+    seed_features: Optional[FeatureSet] = None,
+) -> MatchSet:
+    """Full N-view matching -> padded MatchSet."""
+    pair_matches = pairwise_index_matches(features, cameras, params, seed_features)
+    counts = [f.capacity for f in features]
+    tracks = build_tracks(pair_matches, len(features), counts)
+
+    locs = [np.asarray(f.loc) for f in features]
+    t = len(tracks)
+    v = max((len(tr) for tr in tracks), default=2)
+    cap = max(((t + 127) // 128) * 128, 128)
+    kp_loc = np.zeros((cap, v, 2), np.float32)
+    kp_par = np.full((cap, v), -1, np.int32)
+    nviews = np.zeros(cap, np.int32)
+    mask = np.zeros(cap, bool)
+    for k, tr in enumerate(tracks):
+        for s, (img, feat) in enumerate(tr):
+            kp_loc[k, s] = locs[img][feat]
+            kp_par[k, s] = img
+        nviews[k] = len(tr)
+        mask[k] = True
+    return MatchSet(
+        kp_loc=jnp.asarray(kp_loc),
+        kp_parent=jnp.asarray(kp_par),
+        num_views=jnp.asarray(nviews),
+        mask=jnp.asarray(mask),
+    )
