@@ -44,12 +44,21 @@ class SSKeyPoints(NamedTuple):
         return jnp.sum(self.mask.astype(jnp.int32))
 
 
-def detect_extrema(dog_raw: jax.Array, sigmas: tuple, capacity: int) -> SSKeyPoints:
+def detect_extrema(
+    dog_raw: jax.Array, sigmas: tuple, capacity: int, prefilter_threshold: float = 0.0
+) -> SSKeyPoints:
     """3x3x3 extrema over interior pixels of DoG slices 1..B-2
     (findExtrema kernel, FeatureFactory.cu:847-881; ties count as extrema).
 
     Ordering matches the reference: blur-major, then row-major pixel index
     (the thrust::remove compaction preserves that order).
+
+    ``prefilter_threshold``: apply the first noise rejection
+    (|intensity| >= t, flagNoise FeatureFactory.cu:968) inside the dense
+    mask, *before* extraction into the fixed-capacity list.  The predicate is
+    per-pixel so it commutes with extraction, and it keeps the raw-extrema
+    flood of the upsampled octave (which can exceed any reasonable capacity)
+    from overflowing the list.
     """
     b, h, w = dog_raw.shape
     nmax = jax.lax.reduce_window(
@@ -60,6 +69,8 @@ def detect_extrema(dog_raw: jax.Array, sigmas: tuple, capacity: int) -> SSKeyPoi
     )
     mid = dog_raw[1 : b - 1, 1 : h - 1, 1 : w - 1]
     is_ext = (mid == nmax) | (mid == nmin)
+    if prefilter_threshold > 0.0:
+        is_ext = is_ext & (jnp.abs(mid) >= prefilter_threshold)
 
     flat = is_ext.reshape(-1)
     idx = jnp.nonzero(flat, size=capacity, fill_value=-1)[0]
@@ -88,9 +99,18 @@ def remove_noise(kps: SSKeyPoints, threshold: float) -> SSKeyPoints:
     return kps._replace(mask=keep)
 
 
-def _patch3(dog: jax.Array, blur, y, x):
-    """3x3x3 patch centred at (blur, y, x) (dynamic_slice auto-clamps)."""
-    return jax.lax.dynamic_slice(dog, (blur - 1, y - 1, x - 1), (3, 3, 3))
+def _gather_patch3(dog: jax.Array, blur, y, x):
+    """Batched 3x3x3 patches centred at (blur, y, x) arrays of shape (K,).
+
+    One XLA gather for all keypoints (the vmapped-dynamic_slice formulation
+    lowers to a slow per-element loop on TPU).  Returns (K, 3, 3, 3).
+    """
+    nb, h, w = dog.shape
+    db = jnp.arange(-1, 2)
+    bi = jnp.clip(blur[:, None, None, None] + db[None, :, None, None], 0, nb - 1)
+    yi = jnp.clip(y[:, None, None, None] + db[None, None, :, None], 0, h - 1)
+    xi = jnp.clip(x[:, None, None, None] + db[None, None, None, :], 0, w - 1)
+    return dog[bi, yi, xi]
 
 
 def _inv3(m: jax.Array) -> jax.Array:
@@ -122,96 +142,114 @@ def refine_keypoints(
     max_attempts: int = 5,
 ) -> SSKeyPoints:
     """Iterative 3-D quadratic subpixel refinement over the *normalised* DoG
-    (refineLocation kernel, FeatureFactory.cu:892-967), vmapped over the
-    keypoint capacity with a fori_loop over Newton attempts."""
+    (refineLocation kernel, FeatureFactory.cu:892-967), fully vectorised over
+    the keypoint capacity: each Newton attempt is one batched 27-point
+    gather + closed-form 3x3 solves (no per-keypoint dynamic slices)."""
     nblurs, h, w = dog_norm.shape
+    k = kps.capacity
 
-    def refine_one(blur0, loc0, sigma0, int0, valid0):
-        x0 = jnp.round(loc0[0]).astype(jnp.int32)
-        y0 = jnp.round(loc0[1]).astype(jnp.int32)
-        # state: x, y, blur, loc_f(2), sigma, intensity, discard, done
-        state = (x0, y0, blur0, loc0, sigma0, int0, ~valid0, ~valid0)
-
-        def body(_, st):
-            x, y, blur, loc_f, sigma, inten, discard, done = st
-            p = _patch3(dog_norm, blur, y, x)  # L/M/U = p[0]/p[1]/p[2]
-            L, M, U = p[0], p[1], p[2]
-            g = jnp.stack([M[1, 2] - M[1, 0], M[2, 1] - M[0, 1], U[1, 1] - L[1, 1]])
-            m = M[1, 1]
-            h00 = g[0] - 2.0 * m
-            h11 = g[1] - 2.0 * m
-            h22 = g[2] - 2.0 * m
-            h01 = (M[2, 2] - M[0, 2] - M[2, 0] + M[0, 0]) / 4.0
-            h02 = (U[1, 2] - L[1, 2] - U[1, 0] + L[1, 0]) / 4.0
-            h12 = (U[2, 1] - L[2, 1] - U[0, 1] + L[0, 1]) / 4.0
-            H = -jnp.stack(
-                [
-                    jnp.stack([h00, h01, h02]),
-                    jnp.stack([h01, h11, h12]),
-                    jnp.stack([h02, h12, h22]),
-                ]
-            )
-            Hinv = _inv3(H)
-            offset = Hinv @ g
-            temp = g @ H  # row-vector times matrix (reference multiply(g,H,temp))
-            finite = jnp.all(jnp.isfinite(offset))
-            accept = finite & jnp.all(jnp.abs(offset) <= 0.5)
-
-            # --- accept branch ---
-            new_loc_f = jnp.stack([x + offset[0], y + offset[1]]).astype(jnp.float32)
-            nx = jnp.round(new_loc_f[0]).astype(jnp.int32)
-            ny = jnp.round(new_loc_f[1]).astype(jnp.int32)
-            on_border_a = (nx <= 0) | (ny <= 0) | (nx >= w - 1) | (ny >= h - 1)
-            new_int = dog_norm[blur, ny, nx] - 0.5 * jnp.dot(temp, g)
-            new_sigma = sigma_min * blur_multiplier ** (blur.astype(jnp.float32) + offset[2])
-            blur_a = jnp.where(
-                jnp.abs(offset[2]) > 0.5, blur + jnp.where(offset[2] > 0, 1, -1), blur
-            )
-
-            # --- move branch ---
-            mx = x + jnp.where(jnp.abs(offset[0]) > 0.5, jnp.where(offset[0] > 0, 1, -1), 0)
-            my = y + jnp.where(jnp.abs(offset[1]) > 0.5, jnp.where(offset[1] > 0, 1, -1), 0)
-            blur_m = blur + jnp.where(
-                jnp.abs(offset[2]) > 0.5, jnp.where(offset[2] > 0, 1, -1), 0
-            )
-            dead_m = (
-                (blur_m >= nblurs - 1) | (blur_m <= 0)
-                | (mx <= 0) | (my <= 0) | (mx >= w - 1) | (my >= h - 1)
-            )
-
-            x2 = jnp.where(accept, nx, mx)
-            y2 = jnp.where(accept, ny, my)
-            blur2 = jnp.where(accept, blur_a, blur_m)
-            loc2 = jnp.where(accept, new_loc_f, jnp.stack([mx, my]).astype(jnp.float32))
-            sigma2 = jnp.where(accept, new_sigma, sigma)
-            int2 = jnp.where(accept & ~on_border_a, new_int, inten)
-            discard2 = jnp.where(accept, on_border_a, dead_m)
-            done2 = accept | dead_m
-
-            keep_old = done
-            return (
-                jnp.where(keep_old, x, x2),
-                jnp.where(keep_old, y, y2),
-                jnp.where(keep_old, blur, blur2),
-                jnp.where(keep_old, loc_f, loc2),
-                jnp.where(keep_old, sigma, sigma2),
-                jnp.where(keep_old, inten, int2),
-                jnp.where(keep_old, discard, discard2),
-                done | done2,
-            )
-
-        x, y, blur, loc_f, sigma, inten, discard, done = jax.lax.fori_loop(
-            0, max_attempts, body, state
-        )
-        # attempts exhausted without acceptance -> discard (attempt==4 branch)
-        discard = discard | ~done
-        return blur, loc_f, sigma, inten, ~discard & valid0
-
-    blur, loc, sigma, inten, keep = jax.vmap(refine_one)(
-        kps.blur, kps.loc, kps.sigma, kps.intensity, kps.mask
+    x0 = jnp.round(kps.loc[:, 0]).astype(jnp.int32)
+    y0 = jnp.round(kps.loc[:, 1]).astype(jnp.int32)
+    state = (
+        x0, y0, kps.blur, kps.loc, kps.sigma, kps.intensity,
+        ~kps.mask, ~kps.mask,
     )
+
+    def body(_, st):
+        x, y, blur, loc_f, sigma, inten, discard, done = st
+        p = _gather_patch3(dog_norm, blur, y, x)  # (K, 3, 3, 3): [blur, y, x]
+        L, M, U = p[:, 0], p[:, 1], p[:, 2]       # each (K, 3, 3) [y, x]
+        g0 = M[:, 1, 2] - M[:, 1, 0]
+        g1 = M[:, 2, 1] - M[:, 0, 1]
+        g2 = U[:, 1, 1] - L[:, 1, 1]
+        m = M[:, 1, 1]
+        h00 = -(g0 - 2.0 * m)
+        h11 = -(g1 - 2.0 * m)
+        h22 = -(g2 - 2.0 * m)
+        h01 = -((M[:, 2, 2] - M[:, 0, 2] - M[:, 2, 0] + M[:, 0, 0]) / 4.0)
+        h02 = -((U[:, 1, 2] - L[:, 1, 2] - U[:, 1, 0] + L[:, 1, 0]) / 4.0)
+        h12 = -((U[:, 2, 1] - L[:, 2, 1] - U[:, 0, 1] + L[:, 0, 1]) / 4.0)
+
+        # closed-form 3x3 symmetric inverse applied to g (adjugate / det)
+        det = (
+            h00 * (h11 * h22 - h12 * h12)
+            - h01 * (h01 * h22 - h12 * h02)
+            + h02 * (h01 * h12 - h11 * h02)
+        )
+        inv_det = jnp.where(jnp.abs(det) > 0, 1.0 / det, jnp.inf)
+        a00 = h11 * h22 - h12 * h12
+        a01 = h02 * h12 - h01 * h22
+        a02 = h01 * h12 - h02 * h11
+        a11 = h00 * h22 - h02 * h02
+        a12 = h01 * h02 - h00 * h12
+        a22 = h00 * h11 - h01 * h01
+        o0 = (a00 * g0 + a01 * g1 + a02 * g2) * inv_det
+        o1 = (a01 * g0 + a11 * g1 + a12 * g2) * inv_det
+        o2 = (a02 * g0 + a12 * g1 + a22 * g2) * inv_det
+        # temp = g @ H; dot(temp, g) = g^T H g
+        gHg = (
+            g0 * (h00 * g0 + h01 * g1 + h02 * g2)
+            + g1 * (h01 * g0 + h11 * g1 + h12 * g2)
+            + g2 * (h02 * g0 + h12 * g1 + h22 * g2)
+        )
+
+        finite = jnp.isfinite(o0) & jnp.isfinite(o1) & jnp.isfinite(o2)
+        accept = finite & (jnp.abs(o0) <= 0.5) & (jnp.abs(o1) <= 0.5) & (jnp.abs(o2) <= 0.5)
+
+        # --- accept branch ---
+        nlx = x.astype(jnp.float32) + o0
+        nly = y.astype(jnp.float32) + o1
+        nx = jnp.round(nlx).astype(jnp.int32)
+        ny = jnp.round(nly).astype(jnp.int32)
+        on_border_a = (nx <= 0) | (ny <= 0) | (nx >= w - 1) | (ny >= h - 1)
+        nxc = jnp.clip(nx, 0, w - 1)
+        nyc = jnp.clip(ny, 0, h - 1)
+        new_int = dog_norm[blur, nyc, nxc] - 0.5 * gHg
+        new_sigma = sigma_min * blur_multiplier ** (blur.astype(jnp.float32) + o2)
+
+        # --- move branch ---
+        sgn = lambda o: jnp.where(jnp.abs(o) > 0.5, jnp.where(o > 0, 1, -1), 0)
+        mx = x + sgn(o0)
+        my = y + sgn(o1)
+        blur_m = blur + sgn(o2)
+        dead_m = (
+            (blur_m >= nblurs - 1) | (blur_m <= 0)
+            | (mx <= 0) | (my <= 0) | (mx >= w - 1) | (my >= h - 1)
+        )
+
+        x2 = jnp.where(accept, nx, mx)
+        y2 = jnp.where(accept, ny, my)
+        blur2 = jnp.where(accept, blur, blur_m)
+        loc2 = jnp.where(
+            accept[:, None],
+            jnp.stack([nlx, nly], axis=1),
+            jnp.stack([mx, my], axis=1).astype(jnp.float32),
+        )
+        sigma2 = jnp.where(accept, new_sigma, sigma)
+        int2 = jnp.where(accept & ~on_border_a, new_int, inten)
+        discard2 = jnp.where(accept, on_border_a, dead_m)
+        done2 = accept | dead_m
+
+        keep_old = done
+        return (
+            jnp.where(keep_old, x, x2),
+            jnp.where(keep_old, y, y2),
+            jnp.where(keep_old, blur, blur2),
+            jnp.where(keep_old[:, None], loc_f, loc2),
+            jnp.where(keep_old, sigma, sigma2),
+            jnp.where(keep_old, inten, int2),
+            jnp.where(keep_old, discard, discard2),
+            done | done2,
+        )
+
+    x, y, blur, loc_f, sigma, inten, discard, done = jax.lax.fori_loop(
+        0, max_attempts, body, state
+    )
+    # attempts exhausted without acceptance -> discard (attempt==4 branch)
+    discard = discard | ~done
     return SSKeyPoints(
-        blur=blur, loc=loc, intensity=inten, sigma=sigma, theta=kps.theta, mask=keep
+        blur=blur, loc=loc_f, intensity=inten, sigma=sigma,
+        theta=kps.theta, mask=~discard & kps.mask,
     )
 
 
@@ -219,20 +257,19 @@ def remove_edges(kps: SSKeyPoints, dog_norm: jax.Array, threshold: float) -> SSK
     """2x2 Hessian edgeness rejection (flagEdges, FeatureFactory.cu:974-990;
     note off-diagonal is NOT divided by 4 in the reference — replicated)."""
     _, h, w = dog_norm.shape
-
-    def edge_one(blur, loc, valid):
-        x = jnp.clip(jnp.round(loc[0]).astype(jnp.int32), 1, w - 2)
-        y = jnp.clip(jnp.round(loc[1]).astype(jnp.int32), 1, h - 2)
-        M = jax.lax.dynamic_slice(dog_norm, (blur, y - 1, x - 1), (1, 3, 3))[0]
-        h00 = -2.0 * M[1, 1] + M[1, 2] + M[1, 0]
-        h11 = -2.0 * M[1, 1] + M[2, 1] + M[0, 1]
-        h01 = M[2, 2] - M[0, 2] - M[2, 0] + M[0, 0]
-        tr = h00 + h11
-        det = h00 * h11 - h01 * h01
-        edgeness = tr * tr / det
-        return valid & ~(edgeness > threshold)
-
-    keep = jax.vmap(edge_one)(kps.blur, kps.loc, kps.mask)
+    x = jnp.clip(jnp.round(kps.loc[:, 0]).astype(jnp.int32), 1, w - 2)
+    y = jnp.clip(jnp.round(kps.loc[:, 1]).astype(jnp.int32), 1, h - 2)
+    d = jnp.arange(-1, 2)
+    yi = y[:, None, None] + d[None, :, None]
+    xi = x[:, None, None] + d[None, None, :]
+    M = dog_norm[kps.blur[:, None, None], yi, xi]  # (K, 3, 3)
+    h00 = -2.0 * M[:, 1, 1] + M[:, 1, 2] + M[:, 1, 0]
+    h11 = -2.0 * M[:, 1, 1] + M[:, 2, 1] + M[:, 0, 1]
+    h01 = M[:, 2, 2] - M[:, 0, 2] - M[:, 2, 0] + M[:, 0, 0]
+    tr = h00 + h11
+    det = h00 * h11 - h01 * h01
+    edgeness = tr * tr / det
+    keep = kps.mask & ~(edgeness > threshold)
     return kps._replace(mask=keep)
 
 
@@ -264,9 +301,14 @@ def find_keypoints_octave(
     """Full per-octave detection chain in reference order
     (findKeyPoints, FeatureFactory.cu:461-509):
     extrema(raw) -> noise(0.8t, raw intensity) -> subpixel refine(norm)
-    -> noise(t, refined intensity) -> edges(norm)."""
-    kps = detect_extrema(dog_raw, sigmas, capacity)
-    kps = remove_noise(kps, params.noise_threshold * 0.8)
+    -> noise(t, refined intensity) -> edges(norm).
+
+    The first noise rejection is fused into the dense extrema mask (same
+    predicate, applied before extraction) so the upsampled octave's raw
+    extrema flood cannot overflow the fixed capacity."""
+    kps = detect_extrema(
+        dog_raw, sigmas, capacity, prefilter_threshold=params.noise_threshold * 0.8
+    )
     if params.subpixel:
         kps = refine_keypoints(
             kps,

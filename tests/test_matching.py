@@ -111,16 +111,22 @@ def test_end_to_end_match_triangulate(fixture_2view, cameras_2view):
     from ssrlcv_tpu.geometry import triangulation as T
     from ssrlcv_tpu.matching import match as M
 
+    from ssrlcv_tpu.features.sift import features_from_refdata
+
     f0 = generate_features(fixture_2view["images"][0].pixels, image_id=0)
     f1 = generate_features(fixture_2view["images"][1].pixels, image_id=1)
+    seed = features_from_refdata(fixture_2view["seed_features"])
+    sd = M.seed_distances(f0, seed)
     params = MatchParams(epsilon=25.0, delta=5.0)
-    dm = M.match_double_constrained(f0, f1, cameras_2view, 0, 1, params)
+    dm = M.match_double_constrained(f0, f1, cameras_2view, 0, 1, params, seed_dist=sd)
     ms = M.matches_to_matchset(dm, f0, f1, 0, 1)
-    assert int(ms.count()) > 8000
+    # reference golden match count is 13534; ours must land within 2%
+    n = int(ms.count())
+    assert abs(n - 13534) < 0.02 * 13534, n
 
     pc, _ = T.two_view_triangulate(B.generate_bundles(ms, cameras_2view))
     mine = np.asarray(pc.points)[np.asarray(ms.mask)]
     ref = fixture_2view["points0"]
     d, _ = cKDTree(ref).query(mine)
-    assert np.median(d) < 0.01, np.median(d)
-    assert (d < 0.5).mean() > 0.95
+    assert np.median(d) < 0.001, np.median(d)
+    assert (d < 0.1).mean() > 0.99
