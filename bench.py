@@ -48,6 +48,13 @@ def run_once(fx, cams, seed_features):
 
 
 def main():
+    # persistent compilation cache: the heavy conv-pyramid compiles are paid
+    # once per machine, not once per run
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     if not os.path.isdir(FIXTURE):
         print(json.dumps({"metric": "reconstruction_fps", "value": 0.0,
                           "unit": "frames/s", "vs_baseline": 0.0,

@@ -116,6 +116,51 @@ def nondeterministic_statistical_filter(
     return _with_mask(matches, keep)
 
 
+@partial(jax.jit, static_argnames=("two_view", "k"))
+def planar_cutoff_filter(
+    matches: MatchSet,
+    cameras: Cameras,
+    cutoff: float,
+    two_view: bool = True,
+    k: int = 10,
+) -> MatchSet:
+    """Drop tracks whose triangulated point lies further than ``cutoff`` from
+    the scene's estimated plane (planarCutoffFilter,
+    PointCloudFactory.cu:3653-3828): triangulate, estimate the dominant plane
+    from octree-neighbourhood normals (camera-facing average) + the cloud
+    centroid, flag bundles beyond the point-plane distance
+    (filterTwoViewFromEstimatedPlane / filterNView..., :4333-4455)."""
+    from ssrlcv_tpu.mesh import octree as oc
+
+    bd = generate_bundles(matches, cameras)
+    if two_view:
+        pc, _ = two_view_triangulate(bd)
+    else:
+        pc, _ = n_view_triangulate(bd)
+    valid = matches.mask & pc.mask
+
+    tree = oc.build_octree(pc.points, valid)
+    normals = oc.compute_normals(tree, cameras.cam_pos, k=k)
+    w = tree.mask[:, None].astype(normals.dtype)
+    avg_normal = jnp.sum(normals * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    avg_normal = avg_normal / jnp.maximum(jnp.linalg.norm(avg_normal), 1e-12)
+    wp = valid[:, None].astype(pc.points.dtype)
+    avg_point = jnp.sum(pc.points * wp, axis=0) / jnp.maximum(jnp.sum(wp), 1.0)
+
+    dist = jnp.abs(jnp.sum((pc.points - avg_point) * avg_normal, axis=1))
+    keep = valid & (dist <= cutoff)
+    return _with_mask(matches, keep)
+
+
+def reduce_bundle_set(matches: MatchSet, fraction: float) -> MatchSet:
+    """Keep a deterministic fraction of valid tracks (reduceBundleSet,
+    PointCloudFactory.cu:3830-3891): every k-th valid track survives."""
+    jump = max(int(round(1.0 / max(fraction, 1e-9))), 1)
+    order = jnp.cumsum(matches.mask.astype(jnp.int32)) - 1
+    keep = matches.mask & (order % jump == 0)
+    return _with_mask(matches, keep)
+
+
 def compact_matchset(matches: MatchSet) -> MatchSet:
     """Host-side physical compaction (stable order), mirroring the
     reference's CPU keypoint/match rewrite (PointCloudFactory.cu:3178-3273).
