@@ -43,25 +43,60 @@ def octave_capacity(params: SIFTParams, octave_index: int, height: int, width: i
 
 
 @partial(jax.jit, static_argnames=("params", "height", "width", "octave_index", "capacity"))
-def _features_for_octave(
+def _detect_octave(
     dog_raw, dog_norm, params: SIFTParams, height: int, width: int,
     octave_index: int, capacity: int,
 ):
     sigmas = tuple(ss.octave_sigmas(params, octave_index))[: params.blurs_per_octave - 1]
     pixel_width = float(2.0 ** (params.starting_octave + octave_index))
-
     kps = find_keypoints_octave(dog_raw, dog_norm, sigmas, params, capacity)
     oh, ow = dog_raw.shape[1], dog_raw.shape[2]
     kps = check_descriptor_border(kps, (oh, ow), params.descriptor_contrib_width, pixel_width)
+    return kps
 
+
+@partial(jax.jit, static_argnames=("params", "octave_index"))
+def _describe_octave(dog_norm, kps, params: SIFTParams, octave_index: int):
+    pixel_width = float(2.0 ** (params.starting_octave + octave_index))
     # gradients of each normalised DoG slice (Blur::computeGradients on the
     # DOG scale space — orientation and descriptors both read these)
     grads = jax.vmap(ops.pixel_gradients)(dog_norm)  # (B-1, H, W, 2)
-
     oriented = compute_orientations(grads, kps, pixel_width, params)
     desc, loc_image = fill_descriptors(grads, oriented, pixel_width, params)
     return (
         oriented.blur, loc_image, oriented.sigma, oriented.theta, desc, oriented.mask,
+    )
+
+
+def _compact_keypoints(kps, bucket: int = 2048):
+    """Host-side compaction of detected keypoints to the smallest bucketed
+    capacity: the orientation/descriptor gathers then cost O(real keypoints)
+    instead of O(detection capacity) — the static-shape analogue of the
+    reference's thrust stream compaction."""
+    import numpy as np
+
+    from ssrlcv_tpu.features.detector import SSKeyPoints
+
+    m = np.asarray(kps.mask)
+    sel = np.nonzero(m)[0]
+    n = len(sel)
+    cap = max(((n + bucket - 1) // bucket) * bucket, bucket)
+
+    def pack(x, fill=0):
+        x = np.asarray(x)
+        out = np.full((cap,) + x.shape[1:], fill, x.dtype)
+        out[:n] = x[sel]
+        return jnp.asarray(out)
+
+    mask = np.zeros(cap, bool)
+    mask[:n] = True
+    return SSKeyPoints(
+        blur=pack(kps.blur, 1),
+        loc=pack(kps.loc),
+        intensity=pack(kps.intensity),
+        sigma=pack(kps.sigma, 1.0),
+        theta=pack(kps.theta),
+        mask=jnp.asarray(mask),
     )
 
 
@@ -90,8 +125,10 @@ def generate_features(
     )
     for o, octave in enumerate(octaves):
         cap = octave_capacity(params, o, h, w)
-        blur, loc, sigma, theta, desc, mask = _features_for_octave(
-            octave.dog_raw, octave.dog_norm, params, h, w, o, cap
+        kps = _detect_octave(octave.dog_raw, octave.dog_norm, params, h, w, o, cap)
+        kps = _compact_keypoints(kps)
+        blur, loc, sigma, theta, desc, mask = _describe_octave(
+            octave.dog_norm, kps, params, o
         )
         blurs_all.append(np.asarray(blur))
         locs_all.append(np.asarray(loc))
