@@ -46,6 +46,7 @@ def fill_descriptors(
     pixel_width: float,
     params: SIFTParams,
     chunk: int = 512,
+    w_max: int | None = None,
 ):
     """Returns (descriptors (K, 128) uint8, loc_image (K, 2) float32).
 
@@ -53,7 +54,8 @@ def fill_descriptors(
     SIFT_FeatureFactory.cu:545).
     """
     _, h, w, _ = grads.shape
-    w_max = max_desc_window(params)
+    if w_max is None:
+        w_max = max_desc_window(params)
     s = 2 * w_max + 1
     offs = jnp.arange(s, dtype=jnp.float32) - w_max
     dxg, dyg = jnp.meshgrid(offs, offs, indexing="xy")  # (S, S) sample lattice

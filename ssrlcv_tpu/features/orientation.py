@@ -94,6 +94,7 @@ def compute_orientations(
     pixel_width: float,
     params: SIFTParams,
     chunk: int = 1024,
+    w_max: int | None = None,
 ) -> SSKeyPoints:
     """Expand keypoints to <= max_orientations oriented copies each.
 
@@ -102,7 +103,8 @@ def compute_orientations(
     histogram magnitude — the reference's emission order
     (computeThetas best-list + thrust::remove compaction)."""
     k = kps.capacity
-    w_max = max_window(params)
+    if w_max is None:
+        w_max = max_window(params)
 
     def process(chunk_kps):
         blur, loc, sigma, mask = chunk_kps
