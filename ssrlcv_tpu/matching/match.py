@@ -41,6 +41,15 @@ class DMatches(NamedTuple):
 def seed_distances(features: FeatureSet, seed: FeatureSet, chunk: int = 1024) -> jax.Array:
     """Nearest seed-descriptor distance per feature
     (MatchFactory::getSeedDistances, MatchFactory.cu:315-346)."""
+    if _use_pallas():
+        from ssrlcv_tpu.matching.pallas_match import pallas_best_target
+
+        inf2 = jnp.full((features.capacity, 2), jnp.inf, jnp.float32)
+        _, dist = pallas_best_target(
+            features.descriptors, seed.descriptors, seed.loc,
+            inf2, inf2, jnp.float32(0.0), seed.mask,
+        )
+        return dist
     return min_distance(features.descriptors, seed.descriptors, seed.mask, chunk=chunk)
 
 
@@ -84,7 +93,16 @@ def _fmatrix_mask(q_loc, F, t_loc, epsilon):
     return jnp.abs(d) / jnp.maximum(norm, 1e-20) <= epsilon
 
 
-@partial(jax.jit, static_argnames=("params", "chunk"))
+def _use_pallas() -> bool:
+    """Default to the fused Pallas kernel on TPU-class backends (the XLA
+    chunked path is the CPU/debug fallback)."""
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
+
+
+@partial(jax.jit, static_argnames=("params", "chunk", "backend"))
 def match_double_constrained(
     query: FeatureSet,
     target: FeatureSet,
@@ -94,9 +112,13 @@ def match_double_constrained(
     params: MatchParams,
     seed_dist: Optional[jax.Array] = None,
     chunk: int = 1024,
+    backend: str = "auto",
 ) -> DMatches:
     """Earth-geometry epipolar-segment constrained matching
-    (generateDistanceMatchesDoubleConstrained, MatchFactory.cu:600-652)."""
+    (generateDistanceMatchesDoubleConstrained, MatchFactory.cu:600-652).
+
+    backend: 'pallas' (fused kernel), 'xla' (chunked), or 'auto'.
+    """
     qi, ti = query_index, target_index
     P = camera_math.projection_matrix(
         cameras.cam_pos[ti], cameras.cam_rot[ti], cameras.foc[ti],
@@ -109,28 +131,46 @@ def match_double_constrained(
         P, params.delta,
     )
 
-    idx, dist = best_target_chunked(
-        query.descriptors, target.descriptors, target.mask,
-        mask_fn=lambda a, b: _epipolar_segment_mask(a, b, target.loc, params.epsilon),
-        mask_aux=(p1, p2),
-        chunk=chunk,
-    )
+    if backend == "pallas" or (backend == "auto" and _use_pallas()):
+        from ssrlcv_tpu.matching.pallas_match import pallas_best_target
+
+        idx, dist = pallas_best_target(
+            query.descriptors, target.descriptors, target.loc,
+            p1, p2, jnp.float32(params.epsilon), target.mask,
+        )
+    else:
+        idx, dist = best_target_chunked(
+            query.descriptors, target.descriptors, target.mask,
+            mask_fn=lambda a, b: _epipolar_segment_mask(a, b, target.loc, params.epsilon),
+            mask_aux=(p1, p2),
+            chunk=chunk,
+        )
     return _threshold(idx, dist, query.mask, params, seed_dist)
 
 
-@partial(jax.jit, static_argnames=("params", "chunk"))
+@partial(jax.jit, static_argnames=("params", "chunk", "backend"))
 def match_brute_force(
     query: FeatureSet,
     target: FeatureSet,
     params: MatchParams,
     seed_dist: Optional[jax.Array] = None,
     chunk: int = 1024,
+    backend: str = "auto",
 ) -> DMatches:
     """Unconstrained kNN matching (generateDistanceMatches,
     MatchFactory.cu:500-560)."""
-    idx, dist = best_target_chunked(
-        query.descriptors, target.descriptors, target.mask, chunk=chunk
-    )
+    if backend == "pallas" or (backend == "auto" and _use_pallas()):
+        from ssrlcv_tpu.matching.pallas_match import pallas_best_target
+
+        inf2 = jnp.full((query.capacity, 2), jnp.inf, jnp.float32)
+        idx, dist = pallas_best_target(
+            query.descriptors, target.descriptors, target.loc,
+            inf2, inf2, jnp.float32(0.0), target.mask,
+        )
+    else:
+        idx, dist = best_target_chunked(
+            query.descriptors, target.descriptors, target.mask, chunk=chunk
+        )
     return _threshold(idx, dist, query.mask, params, seed_dist)
 
 

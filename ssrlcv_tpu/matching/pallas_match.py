@@ -1,0 +1,173 @@
+"""Flagship Pallas kernel: fused brute-force descriptor matching.
+
+The hot O(Nq*Nt) op of the whole pipeline (SURVEY.md §7 calls it out as the
+flagship kernel).  A 2-D grid tiles (query, target); target tiles stream
+HBM -> VMEM double-buffered by the Pallas pipeline while a VMEM scratch
+carries the per-query running (best distance, best index) across the target
+sweep:
+
+  * the nibble-split exact distance matmul
+    (||q-t||^2 = ||q||^2+||t||^2-2 q.t^T, every nibble product exact),
+  * the epipolar segment predicate fused into the distance tile (no
+    (Nq, Nt) mask ever exists anywhere),
+  * first-minimum tie-break identical to the reference warp scan.
+
+Compared to the chunked XLA path (matching/distance.py), the distance tile
+never touches HBM.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+QUERY_TILE = 256
+TARGET_TILE = 512
+
+
+def _match_kernel(nt_ref, eps_ref, q_hi_ref, q_lo_ref, t_hi_ref, t_lo_ref,
+                  t_loc_ref, p1_ref, p2_ref,
+                  idx_out_ref, dist_out_ref,
+                  best_d_ref, best_i_ref):
+    """Grid (q_tiles, t_tiles); scratch carries the running best."""
+    ti = pl.program_id(1)
+    num_t = pl.num_programs(1)
+    nt_total = nt_ref[0]
+    eps = eps_ref[0]
+
+    @pl.when(ti == 0)
+    def _():
+        best_d_ref[:] = jnp.full_like(best_d_ref, jnp.inf)
+        best_i_ref[:] = jnp.zeros_like(best_i_ref)
+
+    qh = q_hi_ref[:].astype(jnp.float32)
+    ql = q_lo_ref[:].astype(jnp.float32)
+    qn = jnp.sum((16.0 * qh + ql) ** 2, axis=1, keepdims=True)  # (QT, 1)
+
+    p1 = p1_ref[:]
+    p2 = p2_ref[:]
+    swap = p1[:, 0] >= p2[:, 0]
+    left = jnp.where(swap[:, None], p2, p1)
+    right = jnp.where(swap[:, None], p1, p2)
+    vertical = left[:, 0] == right[:, 0]
+    top = jnp.minimum(p1[:, 1], p2[:, 1])
+    bottom = jnp.maximum(p1[:, 1], p2[:, 1])
+    dxs = left[:, 0] - right[:, 0]
+    slope = (left[:, 1] - right[:, 1]) / jnp.where(dxs == 0, 1.0, dxs)
+    unconstrained = ~jnp.isfinite(p1[:, 0])
+
+    th = t_hi_ref[:].astype(jnp.float32)
+    tl = t_lo_ref[:].astype(jnp.float32)
+    hh = jax.lax.dot_general(qh, th, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    hl = jax.lax.dot_general(qh, tl, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    lh = jax.lax.dot_general(ql, th, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ll = jax.lax.dot_general(ql, tl, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    cross = 256.0 * hh + 16.0 * (hl + lh) + ll
+    tn = jnp.sum((16.0 * th + tl) ** 2, axis=1)[None, :]
+    d = qn + tn - 2.0 * cross                                  # (QT, TT)
+
+    # epipolar predicate (the reference's literal x-gate + vertical-line
+    # distance test, MatchFactory.cu:1551-1567) as f32 0/1 gates.
+    # t_loc arrives TRANSPOSED (2, TT) so tx/ty are lane-oriented rows —
+    # extracting columns of a (TT, 2) block would force a sublane->lane
+    # transpose relayout costing ~18 MB of VMEM scratch per gate.
+    tx = t_loc_ref[0:1, :]
+    ty = t_loc_ref[1:2, :]
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    in_x = jnp.where(tx >= (left[:, 0] - eps)[:, None], one, zero) * jnp.where(
+        tx <= (right[:, 0] + eps)[:, None], one, zero
+    )
+    vert_ok = jnp.where((top - eps)[:, None] <= ty, one, zero) * jnp.where(
+        (bottom + eps)[:, None] >= ty, one, zero
+    )
+    y_line = slope[:, None] * (tx - left[:, 0][:, None]) + left[:, 1][:, None]
+    line_ok = jnp.where(jnp.abs(y_line - ty) <= eps, one, zero)
+    gate = jnp.where(vertical[:, None], vert_ok, line_ok) * in_x
+    gate = jnp.maximum(gate, jnp.where(unconstrained[:, None], one, zero))
+
+    start = ti * TARGET_TILE
+    lanes = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    in_bounds = jnp.where(start + lanes < nt_total, one, zero)
+    big = jnp.float32(3.0e38)
+    d = d + (one - gate * in_bounds) * big
+
+    tile_best = jnp.min(d, axis=1)
+    # first-min tie-break without argmin: min over lane indices achieving it
+    cand = jnp.where(d == tile_best[:, None], lanes, jnp.int32(2**30))
+    tile_idx = start + jnp.min(cand, axis=1)
+
+    improve = tile_best < best_d_ref[:]
+    best_d_ref[:] = jnp.where(improve, tile_best, best_d_ref[:])
+    best_i_ref[:] = jnp.where(improve, tile_idx, best_i_ref[:])
+
+    @pl.when(ti == num_t - 1)
+    def _():
+        dist_out_ref[:, 0] = best_d_ref[:]
+        idx_out_ref[:, 0] = best_i_ref[:]
+
+
+@jax.jit
+def pallas_best_target(q_desc, t_desc, t_loc, p1, p2, epsilon, t_valid):
+    """Fused matching: returns (best_idx, best_dist) per query.
+
+    p1/p2: (Nq, 2) epipolar segment endpoints; rows of +inf disable the
+    constraint for that query (brute-force behaviour).  Invalid targets are
+    excluded via location +inf (fails every gate) + the tail bound.
+    Fully-masked queries return dist >= 3e38 (killed by the absolute
+    threshold downstream).
+    """
+    nq = q_desc.shape[0]
+    nt = t_desc.shape[0]
+    nq_pad = ((nq + QUERY_TILE - 1) // QUERY_TILE) * QUERY_TILE
+    nt_pad = ((nt + TARGET_TILE - 1) // TARGET_TILE) * TARGET_TILE
+
+    qp = jnp.pad(q_desc, ((0, nq_pad - nq), (0, 0)))
+    tp = jnp.pad(t_desc, ((0, nt_pad - nt), (0, 0)))
+    tl = jnp.pad(t_loc, ((0, nt_pad - nt), (0, 0)))
+    tv = jnp.pad(t_valid, (0, nt_pad - nt))
+    tl = jnp.where(tv[:, None], tl, jnp.inf).T  # (2, nt_pad) lane-oriented
+    p1p = jnp.pad(p1, ((0, nq_pad - nq), (0, 0)))
+    p2p = jnp.pad(p2, ((0, nq_pad - nq), (0, 0)))
+
+    q_hi = (qp >> 4).astype(jnp.int8)
+    q_lo = (qp & 15).astype(jnp.int8)
+    t_hi = (tp >> 4).astype(jnp.int8)
+    t_lo = (tp & 15).astype(jnp.int8)
+
+    grid = (nq_pad // QUERY_TILE, nt_pad // TARGET_TILE)
+    idx, dist = pl.pallas_call(
+        _match_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # nt_total
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # eps
+            pl.BlockSpec((QUERY_TILE, 128), lambda i, j: (i, 0)),
+            pl.BlockSpec((QUERY_TILE, 128), lambda i, j: (i, 0)),
+            pl.BlockSpec((TARGET_TILE, 128), lambda i, j: (j, 0)),
+            pl.BlockSpec((TARGET_TILE, 128), lambda i, j: (j, 0)),
+            pl.BlockSpec((2, TARGET_TILE), lambda i, j: (0, j)),
+            pl.BlockSpec((QUERY_TILE, 2), lambda i, j: (i, 0)),
+            pl.BlockSpec((QUERY_TILE, 2), lambda i, j: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((QUERY_TILE, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((QUERY_TILE, 1), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nq_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nq_pad, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((QUERY_TILE,), jnp.float32),
+            pltpu.VMEM((QUERY_TILE,), jnp.int32),
+        ],
+    )(jnp.asarray([nt], jnp.int32), jnp.asarray([epsilon], jnp.float32),
+      q_hi, q_lo, t_hi, t_lo, tl, p1p, p2p)
+    return idx.reshape(-1)[:nq], dist.reshape(-1)[:nq]
