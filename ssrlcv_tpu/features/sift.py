@@ -55,29 +55,53 @@ def _detect_octave(
     return kps
 
 
-@partial(jax.jit, static_argnames=("params", "octave_index"))
-def _describe_octave(dog_norm, kps, params: SIFTParams, octave_index: int):
-    pixel_width = float(2.0 ** (params.starting_octave + octave_index))
+@jax.jit
+def _octave_gradients(dog_norm):
     # gradients of each normalised DoG slice (Blur::computeGradients on the
     # DOG scale space — orientation and descriptors both read these)
-    grads = jax.vmap(ops.pixel_gradients)(dog_norm)  # (B-1, H, W, 2)
-    oriented = compute_orientations(grads, kps, pixel_width, params)
-    desc, loc_image = fill_descriptors(grads, oriented, pixel_width, params)
+    return jax.vmap(ops.pixel_gradients)(dog_norm)  # (B-1, H, W, 2)
+
+
+@partial(jax.jit, static_argnames=("params", "octave_index", "w_orient", "w_desc"))
+def _describe_octave(
+    grads, kps, params: SIFTParams, octave_index: int,
+    w_orient: int | None = None, w_desc: int | None = None,
+):
+    pixel_width = float(2.0 ** (params.starting_octave + octave_index))
+    oriented = compute_orientations(grads, kps, pixel_width, params, w_max=w_orient)
+    desc, loc_image = fill_descriptors(grads, oriented, pixel_width, params, w_max=w_desc)
     return (
         oriented.blur, loc_image, oriented.sigma, oriented.theta, desc, oriented.mask,
     )
 
 
-def _compact_keypoints(kps, bucket: int = 2048):
+def _bucket_windows(params: SIFTParams, blur: int) -> tuple[int, int]:
+    """Static orientation/descriptor window bounds for keypoints of one DoG
+    blur bucket: sigma/pixel_width <= (initial/0.5) * mult^(blur + 0.5)
+    regardless of octave (refinement shifts sigma by at most half a blur)."""
+    import math
+
+    ratio = (params.initial_sigma / 0.5) * params.blur_sigma_multiplier ** (blur + 0.5)
+    w_o = int(math.ceil(3.0 * params.orientation_contrib_width * ratio))
+    w_d = int(math.ceil(params.descriptor_contrib_width * ratio))
+    return w_o, w_d
+
+
+def _compact_keypoints(kps, bucket: int = 2048, select=None):
     """Host-side compaction of detected keypoints to the smallest bucketed
     capacity: the orientation/descriptor gathers then cost O(real keypoints)
     instead of O(detection capacity) — the static-shape analogue of the
-    reference's thrust stream compaction."""
+    reference's thrust stream compaction.
+
+    ``select``: optional host bool array restricting which masked keypoints
+    to keep (used for per-blur bucketing)."""
     import numpy as np
 
     from ssrlcv_tpu.features.detector import SSKeyPoints
 
     m = np.asarray(kps.mask)
+    if select is not None:
+        m = m & select
     sel = np.nonzero(m)[0]
     n = len(sel)
     cap = max(((n + bucket - 1) // bucket) * bucket, bucket)
@@ -100,10 +124,50 @@ def _compact_keypoints(kps, bucket: int = 2048):
     )
 
 
+def _device_compact(kps, capacity: int):
+    """Device-side stable compaction to a fixed capacity: a stable argsort on
+    ~mask moves live keypoints to the front in detection order (the jittable
+    replacement for host compaction; tail beyond capacity is dropped)."""
+    from ssrlcv_tpu.features.detector import SSKeyPoints
+
+    order = jnp.argsort(~kps.mask, stable=True)[:capacity]
+    return SSKeyPoints(
+        blur=jnp.maximum(kps.blur[order], 1),
+        loc=kps.loc[order],
+        intensity=kps.intensity[order],
+        sigma=jnp.maximum(kps.sigma[order], 1e-6),
+        theta=kps.theta[order],
+        mask=kps.mask[order],
+    )
+
+
+@partial(jax.jit, static_argnames=("params", "height", "width"))
+def _sift_fused(pixels, params: SIFTParams, height: int, width: int):
+    """The whole SIFT front end as ONE device program: scale space, per-octave
+    detection, device-side compaction, orientation, descriptors.  One host
+    dispatch + one result fetch per image — the layout for high-latency
+    device links (remote/tunneled TPUs) where per-call round trips dominate.
+    """
+    octaves = ss.build_scale_space(pixels, params, height, width)
+    outs = []
+    for o, octave in enumerate(octaves):
+        cap = octave_capacity(params, o, height, width)
+        kps = _detect_octave(octave.dog_raw, octave.dog_norm, params, height, width, o, cap)
+        desc_cap = max(cap // 2, 2048)
+        kps = _device_compact(kps, desc_cap)
+        grads = _octave_gradients(octave.dog_norm)
+        pixel_width = float(2.0 ** (params.starting_octave + o))
+        oriented = compute_orientations(grads, kps, pixel_width, params)
+        desc, loc_image = fill_descriptors(grads, oriented, pixel_width, params)
+        outs.append((oriented.blur, loc_image, oriented.sigma, oriented.theta, desc, oriented.mask))
+    return tuple(outs)
+
+
 def generate_features(
     pixels: np.ndarray | jax.Array,
     params: Optional[SIFTParams] = None,
     image_id: int = -1,
+    fused: Optional[bool] = None,
 ) -> FeatureSet:
     """Generate SIFT features for one grayscale uint8 image.
 
@@ -118,26 +182,68 @@ def generate_features(
         pixels = ops.to_bw(pixels)
     h, w = int(pixels.shape[0]), int(pixels.shape[1])
 
-    octaves = ss.build_scale_space(pixels, params, h, w)
+    if fused is None:
+        fused = jax.devices()[0].platform not in ("cpu",)
 
     blurs_all, locs_all, sig_all, theta_all, desc_all, mask_all, octs_all = (
         [], [], [], [], [], [], []
     )
+
+    if fused:
+        outs = _sift_fused(pixels, params, h, w)
+        for o, (blur, loc, sigma, theta, desc, mask) in enumerate(outs):
+            blurs_all.append(np.asarray(blur))
+            locs_all.append(np.asarray(loc))
+            sig_all.append(np.asarray(sigma))
+            theta_all.append(np.asarray(theta))
+            desc_all.append(np.asarray(desc))
+            mask_all.append(np.asarray(mask))
+            octs_all.append(np.full(mask_all[-1].shape, o))
+        return _aggregate(
+            params, image_id, blurs_all, locs_all, sig_all, theta_all,
+            desc_all, mask_all, octs_all,
+        )
+
+    octaves = ss.build_scale_space(pixels, params, h, w)
+
     for o, octave in enumerate(octaves):
         cap = octave_capacity(params, o, h, w)
-        kps = _detect_octave(octave.dog_raw, octave.dog_norm, params, h, w, o, cap)
-        kps = _compact_keypoints(kps)
-        blur, loc, sigma, theta, desc, mask = _describe_octave(
-            octave.dog_norm, kps, params, o
-        )
-        blurs_all.append(np.asarray(blur))
-        locs_all.append(np.asarray(loc))
-        sig_all.append(np.asarray(sigma))
-        theta_all.append(np.asarray(theta))
-        desc_all.append(np.asarray(desc))
-        mask_all.append(np.asarray(mask))
-        octs_all.append(np.full(mask_all[-1].shape, o))
+        detected = _detect_octave(octave.dog_raw, octave.dog_norm, params, h, w, o, cap)
+        det_blur = np.asarray(detected.blur)
+        grads = _octave_gradients(octave.dog_norm)
+        # optionally bucket by DoG blur slice so each bucket's gather window
+        # is sized for its actual sigma range (blur-1 keypoints dominate and
+        # need a 23^2 sample grid, not the global 45^2 worst case)
+        if params.bucket_describe:
+            buckets = sorted(set(det_blur[np.asarray(detected.mask)].tolist()))
+        else:
+            buckets = [None]
+        for b in buckets:
+            if b is None:
+                kps = _compact_keypoints(detected)
+                w_o = w_d = None
+            else:
+                kps = _compact_keypoints(detected, select=det_blur == b)
+                w_o, w_d = _bucket_windows(params, int(b))
+            blur, loc, sigma, theta, desc, mask = _describe_octave(
+                grads, kps, params, o, w_orient=w_o, w_desc=w_d
+            )
+            blurs_all.append(np.asarray(blur))
+            locs_all.append(np.asarray(loc))
+            sig_all.append(np.asarray(sigma))
+            theta_all.append(np.asarray(theta))
+            desc_all.append(np.asarray(desc))
+            mask_all.append(np.asarray(mask))
+            octs_all.append(np.full(mask_all[-1].shape, o))
 
+    return _aggregate(
+        params, image_id, blurs_all, locs_all, sig_all, theta_all,
+        desc_all, mask_all, octs_all,
+    )
+
+
+def _aggregate(params, image_id, blurs_all, locs_all, sig_all, theta_all,
+               desc_all, mask_all, octs_all) -> FeatureSet:
     # host aggregation with reference ordering: octave, then blur bucket
     # (stable), then detection order
     blur = np.concatenate(blurs_all)
