@@ -182,3 +182,50 @@ def node_counts(tree: Octree, depth: int) -> np.ndarray:
     shift = 3 * (tree.depth - depth)
     keys = np.asarray(tree.keys)[np.asarray(tree.mask)]
     return np.unique(keys >> np.uint32(shift)).size
+
+
+_CUBE_CORNERS = np.array(
+    [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0],
+     [0, 0, 1], [1, 0, 1], [0, 1, 1], [1, 1, 1]], np.int64)
+# 12 cube edges as corner-index pairs
+_CUBE_EDGES = np.array(
+    [[0, 1], [2, 3], [4, 5], [6, 7],
+     [0, 2], [1, 3], [4, 6], [5, 7],
+     [0, 4], [1, 5], [2, 6], [3, 7]], np.int64)
+
+
+def octree_wireframe(tree: Octree, level: int | None = None):
+    """Host-side: unique occupied node cubes at `level` as deduplicated corner
+    vertices + 12 edges per node — the vertex/edge arrays the reference builds
+    on device (Octree.cuh:147-165) and streams via io::ply::Writer
+    (io_fmt_ply.cuh:17-37).  Returns (vertices (V, 3) f32, edges (E, 2) i64).
+    """
+    level = tree.depth if level is None else level
+    m = np.asarray(tree.mask)
+    pts = np.asarray(tree.points)[m]
+    bmin = np.asarray(tree.bbox_min)
+    bmax = np.asarray(tree.bbox_max)
+    n_cells = 2 ** level
+    cell = np.maximum(bmax - bmin, 1e-12) / n_cells
+    grid = np.clip(((pts - bmin) / cell).astype(np.int64), 0, n_cells - 1)
+    nodes = np.unique(grid, axis=0)                       # (M, 3) occupied cells
+    corners = nodes[:, None, :] + _CUBE_CORNERS[None]     # (M, 8, 3) lattice coords
+    flat = corners.reshape(-1, 3)
+    verts_lattice, inv = np.unique(flat, axis=0, return_inverse=True)
+    corner_idx = inv.reshape(-1, 8)                       # (M, 8) dedup'd ids
+    edges = corner_idx[:, _CUBE_EDGES].reshape(-1, 2)     # (M*12, 2)
+    edges = np.unique(np.sort(edges, axis=1), axis=0)
+    vertices = (verts_lattice * cell[None, :] + bmin[None, :]).astype(np.float32)
+    return vertices, edges
+
+
+def write_octree_ply(path_prefix: str, tree: Octree, level: int | None = None):
+    """Write <prefix>_points.ply / <prefix>_wireframe.ply (writeVertexPLY /
+    writeEdgePLY, Octree.cuh:238-243)."""
+    from ssrlcv_tpu.io.ply import write_ply, write_ply_edges
+
+    m = np.asarray(tree.mask)
+    p1 = write_ply(path_prefix + "_points.ply", np.asarray(tree.points)[m])
+    v, e = octree_wireframe(tree, level)
+    p2 = write_ply_edges(path_prefix + "_wireframe.ply", v, e)
+    return p1, p2

@@ -83,6 +83,42 @@ def upsample2x(img: jax.Array) -> jax.Array:
     )
 
 
+def to_rgb(pixels: jax.Array) -> jax.Array:
+    """(H, W) grayscale -> (H, W, 3) by channel replication (convertToRGB,
+    Image.cuh:597 bwToRGB)."""
+    if pixels.ndim == 3:
+        return pixels
+    return jnp.repeat(pixels[..., None], 3, axis=-1)
+
+
+def scale_image(img: jax.Array, out_shape: tuple[int, int]) -> jax.Array:
+    """Arbitrary-factor bilinear rescale (scaleImage, Image.cuh:600 /
+    bilinearInterpolation kernel): output (i, j) samples the input at
+    (i*H/H', j*W/W') with symmetric-border floor/floor+1 taps, matching the
+    upsample2x tap scheme.  out_shape is static so the gather fuses under jit.
+    """
+    h, w = img.shape
+    oh, ow = out_shape
+    x = jnp.arange(ow) * (w / ow)
+    y = jnp.arange(oh) * (h / oh)
+    xm = _symmetrize_coords(jnp.floor(x).astype(jnp.int32), w)
+    xp = _symmetrize_coords(jnp.floor(x).astype(jnp.int32) + 1, w)
+    ym = _symmetrize_coords(jnp.floor(y).astype(jnp.int32), h)
+    yp = _symmetrize_coords(jnp.floor(y).astype(jnp.int32) + 1, h)
+    fx = (x - jnp.floor(x))[None, :]
+    fy = (y - jnp.floor(y))[:, None]
+    p_mm = img[ym][:, xm]
+    p_mp = img[ym][:, xp]
+    p_pm = img[yp][:, xm]
+    p_pp = img[yp][:, xp]
+    return (
+        fx * fy * p_pp
+        + (1 - fx) * fy * p_pm
+        + fx * (1 - fy) * p_mp
+        + (1 - fx) * (1 - fy) * p_mm
+    )
+
+
 def gaussian_kernel_1d(sigma: float, pixel_width: float, base_size: int = 8) -> np.ndarray:
     """The reference Blur kernel (FeatureFactory.cu:15-33): tap count
     ceil(base*sigma/pixel_width) bumped to odd; taps are the *unnormalised*
