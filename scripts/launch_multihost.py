@@ -46,6 +46,13 @@ def main(argv=None) -> int:
           f"{jax.local_device_count()} local / {jax.device_count()} global devices")
 
     sfm_args = args.rest[1:] if args.rest[:1] == ["--"] else args.rest
+    # shard the reconstruction over the global mesh (every host runs the
+    # same program; jit + shard_map split the work) instead of duplicating
+    # the single-device pipeline per host
+    if "--mesh" not in sfm_args:
+        n = jax.device_count()
+        assert n % args.feat_axis == 0, (n, args.feat_axis)
+        sfm_args = sfm_args + ["--mesh", f"{n // args.feat_axis}x{args.feat_axis}"]
     from ssrlcv_tpu.pipeline.sfm import main as sfm_main
 
     return sfm_main(sfm_args)

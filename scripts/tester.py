@@ -50,7 +50,8 @@ def main():
     logger.log_state("matching start")
     t0 = time.perf_counter()
     sd = M.seed_distances(seed, seed)
-    n_seed = int(np.asarray(sd >= 0).sum())
+    sd.block_until_ready()
+    n_seed = int(np.sum(np.asarray(seed.mask)))
     logger.log_state("matching end")
     logger.info(f"seed-distance pass over {n_seed} features "
                 f"in {time.perf_counter() - t0:.3f}s")

@@ -73,14 +73,21 @@ def detect_fast(
     score = jnp.sum(jnp.where(jnp.abs(d) > threshold, jnp.abs(d) - threshold, 0.0), axis=-1)
     score = jnp.where(is_corner, score, 0.0)
 
-    # 3x3 non-max suppression via shifted maxima (no reduce_window needed)
-    neigh = score
+    # 3x3 non-max suppression via shifted maxima (no reduce_window needed).
+    # Ties break lexicographically: a pixel loses to an equal-scoring
+    # neighbour that precedes it in raster order, so exactly one of a tied
+    # pair survives.
+    keep = is_corner & (score > 0)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             if dy == 0 and dx == 0:
                 continue
-            neigh = jnp.maximum(neigh, jnp.roll(score, (dy, dx), axis=(0, 1)))
-    keep = is_corner & (score >= neigh) & (score > 0)
+            # roll(score, (dy, dx)) at p holds score[p - (dy, dx)], i.e. the
+            # neighbour at offset (-dy, -dx); it precedes p in raster order
+            # when -dy < 0 or (-dy == 0 and -dx < 0).
+            shifted = jnp.roll(score, (dy, dx), axis=(0, 1))
+            precedes = (-dy < 0) or (dy == 0 and -dx < 0)
+            keep = keep & ((score > shifted) if precedes else (score >= shifted))
 
     # border reject (circle radius 3)
     yy, xx = jnp.mgrid[0:h, 0:w]
@@ -88,7 +95,11 @@ def detect_fast(
     keep = keep & interior
 
     flat_score = jnp.where(keep, score, -1.0).reshape(-1)
-    top_score, top_idx = jax.lax.top_k(flat_score, capacity)
+    k = min(capacity, h * w)
+    top_score, top_idx = jax.lax.top_k(flat_score, k)
+    if k < capacity:  # pad back to the requested fixed capacity
+        top_score = jnp.concatenate([top_score, jnp.full(capacity - k, -1.0)])
+        top_idx = jnp.concatenate([top_idx, jnp.zeros(capacity - k, top_idx.dtype)])
     mask = top_score > 0
     locs = jnp.stack(
         [(top_idx % w).astype(jnp.float32), (top_idx // w).astype(jnp.float32)],

@@ -31,11 +31,10 @@ from ssrlcv_tpu.ops import image_ops as ops
 
 def octave_capacity(params: SIFTParams, octave_index: int, height: int, width: int) -> int:
     """Static keypoint capacity per octave: a generous fraction of the
-    octave's pixel count (extrema are sparse; overflow drops the tail and is
-    reported via the count)."""
-    scale = 2 ** (params.starting_octave + octave_index)
-    h = max(height // scale if scale >= 1 else height * int(1 / scale), 1) if scale >= 1 else height * 2
-    # simpler: octave pixel count = (H*W) / scale^2 (scale may be 0.5)
+    octave's pixel count (extrema are sparse; saturation is detected at
+    aggregation time and logged as a warning)."""
+    scale = 2.0 ** (params.starting_octave + octave_index)
+    # octave pixel count = (H*W) / scale^2 (scale may be 0.5)
     npix = int(height * width / (scale * scale))
     cap = max(1024, npix // 64)
     # round to a lane-friendly multiple
@@ -244,6 +243,17 @@ def generate_features(
 
 def _aggregate(params, image_id, blurs_all, locs_all, sig_all, theta_all,
                desc_all, mask_all, octs_all) -> FeatureSet:
+    # saturation check: a fully-masked bucket means the fixed capacity
+    # clipped real keypoints (dense-texture images) — surface it loudly
+    for m, ov in zip(mask_all, octs_all):
+        if m.all():
+            from ssrlcv_tpu.logging import logger
+
+            logger.warn(
+                f"image {image_id} octave {int(ov[0])}: keypoint capacity "
+                f"{len(m)} saturated — keypoints were dropped; raise "
+                "SIFTParams capacity heuristics"
+            )
     # host aggregation with reference ordering: octave, then blur bucket
     # (stable), then detection order
     blur = np.concatenate(blurs_all)

@@ -38,6 +38,26 @@ def two_view_midpoints(l1_vec, l1_pnt, l2_vec, l2_pnt):
     return s1, s2
 
 
+def _masked_safe_lines(bundles: Bundles):
+    """Substitute well-conditioned skew lines for masked (padding) tracks.
+
+    Padded tracks carry identical zero keypoints in both views, so their rays
+    coincide and the midpoint math divides 0/0.  The forward NaN would be
+    masked away, but reverse-mode AD multiplies the zero cotangent by the NaN
+    partial (0 * nan = nan) and poisons the whole BA gradient — so the mask
+    must cut the data flow *before* the singularity.  Valid tracks pass
+    through untouched (bit-identical to the unguarded math)."""
+    m = bundles.mask[:, None]
+    e1 = jnp.array([1.0, 0.0, 0.0], bundles.vec.dtype)
+    e2 = jnp.array([0.0, 1.0, 0.0], bundles.vec.dtype)
+    e3 = jnp.array([0.0, 0.0, 1.0], bundles.vec.dtype)
+    l1_vec = jnp.where(m, bundles.vec[:, 0], e1)
+    l2_vec = jnp.where(m, bundles.vec[:, 1], e2)
+    l1_pnt = jnp.where(m, bundles.pnt[:, 0], 0.0)
+    l2_pnt = jnp.where(m, bundles.pnt[:, 1], e3)
+    return l1_vec, l1_pnt, l2_vec, l2_pnt
+
+
 @jax.jit
 def two_view_triangulate(bundles: Bundles, cutoff: jax.Array | float = jnp.inf) -> tuple[PointCloud, jax.Array]:
     """2-view skew-line midpoint triangulation with linear error.
@@ -48,8 +68,7 @@ def two_view_triangulate(bundles: Bundles, cutoff: jax.Array | float = jnp.inf) 
     exactly as the cutoff kernel flags ``bundle.invalid``
     (PointCloudFactory.cu:4601-4680).
     """
-    l1_vec, l2_vec = bundles.vec[:, 0], bundles.vec[:, 1]
-    l1_pnt, l2_pnt = bundles.pnt[:, 0], bundles.pnt[:, 1]
+    l1_vec, l1_pnt, l2_vec, l2_pnt = _masked_safe_lines(bundles)
     s1, s2 = two_view_midpoints(l1_vec, l1_pnt, l2_vec, l2_pnt)
     point = (s1 + s2) / 2.0
     err = jnp.sum((s1 - s2) ** 2, axis=-1)
@@ -130,8 +149,7 @@ def linear_error_objective(bundles: Bundles) -> jax.Array:
     """Differentiable total linear error — the 2-view BA objective
     (what voidTwoViewTriangulate accumulates, PointCloudFactory.cu:4766-4878).
     """
-    l1_vec, l2_vec = bundles.vec[:, 0], bundles.vec[:, 1]
-    l1_pnt, l2_pnt = bundles.pnt[:, 0], bundles.pnt[:, 1]
+    l1_vec, l1_pnt, l2_vec, l2_pnt = _masked_safe_lines(bundles)
     s1, s2 = two_view_midpoints(l1_vec, l1_pnt, l2_vec, l2_pnt)
     err = jnp.sum((s1 - s2) ** 2, axis=-1)
     return jnp.sum(jnp.where(bundles.mask, err, 0.0))

@@ -5,45 +5,94 @@ scaling-critical stages expressed with ``shard_map`` over the (data, feat)
 mesh so XLA inserts ICI collectives:
 
   * matching — queries sharded over ``data``, targets sharded over ``feat``;
-    each device reduces its local distance tile, then a min-reduction over
-    ``feat`` (psum-style pmin with index packing) produces the global
-    best match per query without ever materialising the full matrix.
+    each device reduces its local distance tile (with the epipolar-segment
+    predicate fused in), then a min-reduction over ``feat`` (pmin with index
+    packing) produces the global best match per query without ever
+    materialising the full matrix.
   * triangulation — embarrassingly data-parallel over tracks; expressed as a
     sharding constraint so jit partitions it automatically.
   * bundle adjustment — per-shard gradient/Hessian blocks of the linear
-    error objective psum-reduced over ``data``; the 12x12 camera solve is
-    replicated (the Schur-style pattern from SURVEY.md §5).
+    error objective psum-reduced over ``data``; the (6N)x(6N) camera solve is
+    replicated (the Schur-style pattern from SURVEY.md §5).  The full LM
+    driver (``sharded_bundle_adjust``) mirrors ba/two_view's lambda-adaptive
+    loop so sharded and single-device runs converge identically.
+
+These are wired into the pipeline via ``run_pipeline(state, mesh=...)``
+(pipeline/stages.py) and validated against the single-device stages on the
+virtual 8-device CPU mesh in tests/test_sharded.py.
 """
 
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ssrlcv_tpu.core.types import Bundles, Cameras, MatchSet
+from ssrlcv_tpu.config import BAParams, MatchParams
+from ssrlcv_tpu.core.types import Cameras, FeatureSet, MatchSet
 from ssrlcv_tpu.geometry.bundles import generate_bundles
-from ssrlcv_tpu.geometry.triangulation import two_view_triangulate
+from ssrlcv_tpu.geometry.triangulation import linear_error_objective, two_view_triangulate
 from ssrlcv_tpu.matching.distance import distance_matrix
 from ssrlcv_tpu.parallel.mesh import DATA_AXIS, FEAT_AXIS
 
 
-def sharded_best_target(mesh: Mesh, q_desc, t_desc, t_valid):
+def _pad_to(x: jax.Array, multiple: int, fill=0) -> jax.Array:
+    """Pad the leading axis up to a multiple (static shapes for shard_map)."""
+    n = x.shape[0]
+    target = ((n + multiple - 1) // multiple) * multiple
+    if target == n:
+        return x
+    pad = [(0, target - n)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad, constant_values=fill)
+
+
+def pad_matchset(ms: MatchSet, multiple: int) -> MatchSet:
+    """Pad tracks (mask False) so the track axis divides the data axis."""
+    return MatchSet(
+        kp_loc=_pad_to(ms.kp_loc, multiple),
+        kp_parent=_pad_to(ms.kp_parent, multiple, fill=-1),
+        num_views=_pad_to(ms.num_views, multiple),
+        mask=_pad_to(ms.mask, multiple),
+    )
+
+
+def sharded_best_target(
+    mesh: Mesh,
+    q_desc,
+    t_desc,
+    t_valid,
+    p1: Optional[jax.Array] = None,
+    p2: Optional[jax.Array] = None,
+    t_loc: Optional[jax.Array] = None,
+    epsilon: float = 0.0,
+):
     """Distributed brute-force kNN: returns (best_idx, best_dist) per query.
 
     q: (Nq, 128) sharded over data; t: (Nt, 128) sharded over feat.
     Nq % data_size == 0 and Nt % feat_size == 0 required (pad first).
+
+    When (p1, p2, t_loc) are given, the double-constrained epipolar-segment
+    predicate (MatchFactory.cu:1551-1567) is fused into the local distance
+    tile, exactly as in the single-device paths.
     """
     feat_size = mesh.shape[FEAT_AXIS]
     nt_shard = t_desc.shape[0] // feat_size
+    constrained = p1 is not None
 
-    def kernel(q, t, tv):
+    def kernel(q, t, tv, *aux):
         # local tile: (nq_shard, nt_shard)
         d = distance_matrix(q, t).astype(jnp.float32)
-        d = jnp.where(tv[None, :], d, jnp.inf)
+        bad = ~tv[None, :]
+        if constrained:
+            from ssrlcv_tpu.matching.match import _epipolar_segment_mask
+
+            lp1, lp2, ltl = aux
+            bad = bad | ~_epipolar_segment_mask(lp1, lp2, ltl, epsilon)
+        d = jnp.where(bad, jnp.inf, d)
         li = jnp.argmin(d, axis=1).astype(jnp.int32)
         ld = jnp.take_along_axis(d, li[:, None], axis=1)[:, 0]
         # globalise the target index for this feat shard
@@ -57,18 +106,90 @@ def sharded_best_target(mesh: Mesh, q_desc, t_desc, t_valid):
         bi = jax.lax.pmin(cand, FEAT_AXIS)
         return bi, bd
 
+    in_specs = [P(DATA_AXIS, None), P(FEAT_AXIS, None), P(FEAT_AXIS)]
+    args = [q_desc, t_desc, t_valid]
+    if constrained:
+        in_specs += [P(DATA_AXIS, None), P(DATA_AXIS, None), P(FEAT_AXIS, None)]
+        args += [p1, p2, t_loc]
     return shard_map(
         kernel,
         mesh=mesh,
-        in_specs=(P(DATA_AXIS, None), P(FEAT_AXIS, None), P(FEAT_AXIS)),
+        in_specs=tuple(in_specs),
         out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
-    )(q_desc, t_desc, t_valid)
+    )(*args)
+
+
+def sharded_match_double_constrained(
+    mesh: Mesh,
+    query: FeatureSet,
+    target: FeatureSet,
+    cameras: Cameras,
+    query_index: int,
+    target_index: int,
+    params: MatchParams,
+    seed_dist: Optional[jax.Array] = None,
+):
+    """Distributed double-constrained matching — the sharded twin of
+    matching.match.match_double_constrained, returning identical DMatches
+    (exact integer distances make the results bit-equal)."""
+    from ssrlcv_tpu.core import camera_math
+    from ssrlcv_tpu.matching.match import _threshold
+
+    qi, ti = query_index, target_index
+    Pm = camera_math.projection_matrix(
+        cameras.cam_pos[ti], cameras.cam_rot[ti], cameras.foc[ti],
+        cameras.dpix[ti], cameras.size[ti], cameras.ecef_offset[ti],
+    )
+    p1, p2 = camera_math.epipolar_segment_endpoints(
+        query.loc,
+        cameras.cam_pos[qi], cameras.cam_rot[qi], cameras.foc[qi],
+        cameras.dpix[qi], cameras.size[qi], cameras.ecef_offset[qi],
+        Pm, params.delta,
+    )
+
+    dsz, fsz = mesh.shape[DATA_AXIS], mesh.shape[FEAT_AXIS]
+    nq = query.capacity
+    idx, dist = sharded_best_target(
+        mesh,
+        _pad_to(query.descriptors, dsz),
+        _pad_to(target.descriptors, fsz),
+        _pad_to(target.mask, fsz),
+        p1=_pad_to(p1, dsz),
+        p2=_pad_to(p2, dsz),
+        t_loc=_pad_to(target.loc, fsz),
+        epsilon=float(params.epsilon),
+    )
+    return _threshold(idx[:nq], dist[:nq], query.mask, params, seed_dist)
+
+
+def sharded_match_brute_force(
+    mesh: Mesh,
+    query: FeatureSet,
+    target: FeatureSet,
+    params: MatchParams,
+    seed_dist: Optional[jax.Array] = None,
+):
+    """Distributed unconstrained matching (sharded twin of
+    match_brute_force)."""
+    from ssrlcv_tpu.matching.match import _threshold
+
+    dsz, fsz = mesh.shape[DATA_AXIS], mesh.shape[FEAT_AXIS]
+    nq = query.capacity
+    idx, dist = sharded_best_target(
+        mesh,
+        _pad_to(query.descriptors, dsz),
+        _pad_to(target.descriptors, fsz),
+        _pad_to(target.mask, fsz),
+    )
+    return _threshold(idx[:nq], dist[:nq], query.mask, params, seed_dist)
 
 
 def sharded_triangulate(mesh: Mesh, matches: MatchSet, cameras: Cameras):
     """Track-sharded 2-view triangulation: sharding constraints let jit
     partition the whole bundle+triangulate computation over data."""
     sharding = NamedSharding(mesh, P(DATA_AXIS))
+    cap = matches.capacity
+    matches = pad_matchset(matches, mesh.shape[DATA_AXIS])
 
     def step(ms: MatchSet, cams: Cameras):
         ms = jax.tree_util.tree_map(
@@ -77,18 +198,39 @@ def sharded_triangulate(mesh: Mesh, matches: MatchSet, cameras: Cameras):
         bd = generate_bundles(ms, cams)
         return two_view_triangulate(bd)
 
-    return jax.jit(step)(matches, cameras)
+    pc, err = jax.jit(step)(matches, cameras)
+    if pc.points.shape[0] != cap:  # drop the padding tracks again
+        pc = jax.tree_util.tree_map(lambda x: x[:cap], pc)
+    return pc, err
 
 
-def sharded_ba_step(mesh: Mesh, matches: MatchSet, cameras: Cameras, params_flat, lam):
+def _lm_solve(H, g, lam, free):
+    """Damped LM solve with pinned parameters — identical to
+    ba/two_view.py's lm_step linear algebra."""
+    damped = H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-8))
+    pin = 1.0 - free
+    damped = damped * free[:, None] * free[None, :] + jnp.diag(pin)
+    return jnp.linalg.solve(damped, g)
+
+
+def sharded_ba_step(
+    mesh: Mesh,
+    matches: MatchSet,
+    cameras: Cameras,
+    params_flat,
+    lam,
+    fix_camera0: bool = True,
+):
     """One sharded LM iteration on the 2-view BA objective.
 
     Tracks are sharded over ``data``; each shard computes its gradient and
     Hessian contribution of the total linear error; psum reduces them; the
     (6N)x(6N) damped solve happens replicated on every device.  This is the
-    distributed-BA building block (SURVEY.md §7 step 7).
+    distributed-BA building block (SURVEY.md §7 step 7); the iteration loop
+    lives in ``sharded_bundle_adjust``.
     """
     n_cams = cameras.num_cameras
+    matches = pad_matchset(matches, mesh.shape[DATA_AXIS])
 
     def local_obj(p_flat, kp_loc, kp_parent, num_views, mask):
         ms = MatchSet(kp_loc=kp_loc, kp_parent=kp_parent, num_views=num_views, mask=mask)
@@ -97,24 +239,22 @@ def sharded_ba_step(mesh: Mesh, matches: MatchSet, cameras: Cameras, params_flat
             cam_rot=p_flat.reshape(n_cams, 6)[:, 3:6],
         )
         bd = generate_bundles(ms, cams)
-        from ssrlcv_tpu.geometry.triangulation import linear_error_objective
-
         return linear_error_objective(bd)
 
-    free = jnp.ones((n_cams, 6), params_flat.dtype).at[0].set(0.0).reshape(-1)
+    free = jnp.ones((n_cams, 6), params_flat.dtype)
+    if fix_camera0:
+        free = free.at[0].set(0.0)
+    free = free.reshape(-1)
 
     def kernel(p_flat, kp_loc, kp_parent, num_views, mask, lam_):
-        g_local = jax.grad(local_obj)(p_flat, kp_loc, kp_parent, num_views, mask)
+        e_local, g_local = jax.value_and_grad(local_obj)(
+            p_flat, kp_loc, kp_parent, num_views, mask
+        )
         H_local = jax.hessian(local_obj)(p_flat, kp_loc, kp_parent, num_views, mask)
-        e_local = local_obj(p_flat, kp_loc, kp_parent, num_views, mask)
-        g = jax.lax.psum(g_local, DATA_AXIS)
+        g = jax.lax.psum(g_local, DATA_AXIS) * free
         H = jax.lax.psum(H_local, DATA_AXIS)
         err = jax.lax.psum(e_local, DATA_AXIS)
-        g = g * free
-        damped = H + lam_ * jnp.diag(jnp.maximum(jnp.diag(H), 1e-8))
-        pin = 1.0 - free
-        damped = damped * free[:, None] * free[None, :] + jnp.diag(pin)
-        step = jnp.linalg.solve(damped, g)
+        step = _lm_solve(H, g, lam_, free)
         return p_flat - step * free, err
 
     return shard_map(
@@ -124,3 +264,98 @@ def sharded_ba_step(mesh: Mesh, matches: MatchSet, cameras: Cameras, params_flat
         out_specs=(P(), P()),
     )(params_flat, matches.kp_loc, matches.kp_parent, matches.num_views, matches.mask,
       jnp.asarray(lam, params_flat.dtype))
+
+
+def sharded_bundle_adjust(
+    mesh: Mesh,
+    matches: MatchSet,
+    cameras: Cameras,
+    iterations: int = 10,
+    fix_camera0: bool = True,
+    initial_lambda: float = 1e-3,
+):
+    """Distributed multi-iteration 2-view LM bundle adjustment.
+
+    The full lambda-adaptive loop of ba/two_view.bundle_adjust_two_view
+    (mode="lm") with the gradient/Hessian/error psum-reduced over the data
+    axis each iteration; all control-flow decisions are made on the psum'd
+    scalars, so every device runs the identical replicated loop.
+
+    Returns (cameras, cloud, initial_error, final_error, history) — the same
+    surface as ba.two_view.BAResult.
+    """
+    from ssrlcv_tpu.ba.two_view import BAResult, _apply_params, _pack
+
+    n_cams = cameras.num_cameras
+    matches_p = pad_matchset(matches, mesh.shape[DATA_AXIS])
+    params0 = _pack(cameras).reshape(-1)
+
+    free = jnp.ones((n_cams, 6), params0.dtype)
+    if fix_camera0:
+        free = free.at[0].set(0.0)
+    free = free.reshape(-1)
+
+    def local_obj(p_flat, kp_loc, kp_parent, num_views, mask):
+        ms = MatchSet(kp_loc=kp_loc, kp_parent=kp_parent, num_views=num_views, mask=mask)
+        cams = cameras.replace(
+            cam_pos=p_flat.reshape(n_cams, 6)[:, 0:3],
+            cam_rot=p_flat.reshape(n_cams, 6)[:, 3:6],
+        )
+        return linear_error_objective(generate_bundles(ms, cams))
+
+    def kernel(p0, kp_loc, kp_parent, num_views, mask):
+        def obj(p_flat):
+            return jax.lax.psum(
+                local_obj(p_flat, kp_loc, kp_parent, num_views, mask), DATA_AXIS
+            )
+
+        init_err = obj(p0)
+
+        def body(i, state):
+            params, best_params, best_err, lam, done, hist = state
+            e_local, g_local = jax.value_and_grad(local_obj)(
+                params, kp_loc, kp_parent, num_views, mask
+            )
+            H = jax.lax.psum(
+                jax.hessian(local_obj)(params, kp_loc, kp_parent, num_views, mask),
+                DATA_AXIS,
+            )
+            g = jax.lax.psum(g_local, DATA_AXIS) * free
+            step = _lm_solve(H, g, lam, free)
+            new_params = params - step * free
+            new_err = obj(new_params)
+            improved = new_err < best_err
+
+            lam2 = jnp.where(improved, lam * 0.3, lam * 10.0)
+            params2 = jnp.where(improved, new_params, best_params)
+            done2 = done | (~improved & (i > 0))
+            best_params2 = jnp.where(improved, new_params, best_params)
+            best_err2 = jnp.where(improved, new_err, best_err)
+            hist2 = hist.at[i + 1].set(jnp.where(improved, new_err, best_err))
+
+            new_state = (params2, best_params2, best_err2, lam2, done2, hist2)
+            return jax.tree_util.tree_map(
+                lambda new, old: jnp.where(done, old, new), new_state, state
+            )
+
+        hist0 = jnp.full((iterations + 1,), init_err)
+        state0 = (
+            p0, p0, init_err,
+            jnp.asarray(initial_lambda, p0.dtype),
+            jnp.asarray(False), hist0,
+        )
+        final = jax.lax.fori_loop(0, iterations, body, state0)
+        return final[1], init_err, final[2], final[5]
+
+    best_flat, init_err, best_err, hist = jax.jit(
+        shard_map(
+            kernel,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(), P(), P(), P()),
+        )
+    )(params0, matches_p.kp_loc, matches_p.kp_parent, matches_p.num_views, matches_p.mask)
+
+    out_cams = _apply_params(cameras, best_flat.reshape(n_cams, 6))
+    cloud, _ = sharded_triangulate(mesh, matches, out_cams)
+    return BAResult(out_cams, cloud, init_err, best_err, hist)

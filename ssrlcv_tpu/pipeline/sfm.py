@@ -32,7 +32,21 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--pose", action="store_true", help="run pose estimation, skip BA (SFM.cu:307)")
     p.add_argument("-np", "--noparams", action="store_true", help="skip params.csv")
     p.add_argument("-o", "--output-dir", default="out")
+    p.add_argument("--mesh", default=None, metavar="DATAxFEAT",
+                   help="run distributed stages over a (data, feat) device "
+                        "mesh, e.g. '4x2'; 'auto' = all devices on the data axis")
     return p.parse_args(argv)
+
+
+def _build_mesh(spec: str):
+    import jax
+
+    from ssrlcv_tpu.parallel.mesh import make_mesh
+
+    if spec == "auto":
+        return make_mesh()
+    data, feat = (int(x) for x in spec.split("x"))
+    return make_mesh(jax.devices()[: data * feat], data=data, feat=feat)
 
 
 def main(argv=None) -> int:
@@ -72,6 +86,9 @@ def main(argv=None) -> int:
     logger.info(f"loaded {len(images)} images from {args.directory}")
 
     state = PipelineState(config=config, images=images)
+    if args.mesh:
+        state.mesh = _build_mesh(args.mesh)
+        logger.info(f"distributed stages over mesh {dict(state.mesh.shape)}")
 
     if args.seed:
         seed_img = load_image_with_params(args.seed, -1, no_params=True)

@@ -48,6 +48,9 @@ class PipelineState:
     matches: Optional[MatchSet] = None
     cloud: Optional[PointCloud] = None
     ba_error: Optional[tuple] = None
+    # optional jax.sharding.Mesh: when set, matching/triangulation/BA run
+    # their distributed twins from parallel/sharded.py over it
+    mesh: Optional[object] = None
 
 
 def do_feature_generation(state: PipelineState) -> PipelineState:
@@ -109,7 +112,19 @@ def do_feature_matching(state: PipelineState) -> PipelineState:
         state.seed_distances = sd
 
     if len(state.images) == 2:
-        if cfg.mode == "double":
+        if state.mesh is not None:
+            from ssrlcv_tpu.parallel import sharded
+
+            if cfg.mode == "double":
+                dm = sharded.sharded_match_double_constrained(
+                    state.mesh, state.features[0], state.features[1],
+                    state.cameras, 0, 1, cfg, seed_dist=sd,
+                )
+            else:
+                dm = sharded.sharded_match_brute_force(
+                    state.mesh, state.features[0], state.features[1], cfg, seed_dist=sd
+                )
+        elif cfg.mode == "double":
             dm = M.match_double_constrained(
                 state.features[0], state.features[1], state.cameras, 0, 1, cfg, seed_dist=sd
             )
@@ -131,8 +146,13 @@ def do_triangulation(state: PipelineState) -> PipelineState:
     from ssrlcv_tpu.geometry.triangulation import triangulate
 
     two_view = len(state.images) == 2
-    bd = generate_bundles(state.matches, state.cameras)
-    pc, err = triangulate(bd, two_view)
+    if state.mesh is not None and two_view:
+        from ssrlcv_tpu.parallel.sharded import sharded_triangulate
+
+        pc, err = sharded_triangulate(state.mesh, state.matches, state.cameras)
+    else:
+        bd = generate_bundles(state.matches, state.cameras)
+        pc, err = triangulate(bd, two_view)
     state.cloud = pc
     logger.info(f"initial cloud: {int(pc.mask.sum())} points, error {float(err):.6f}")
     _write_cloud(state, "ssrlcv-initial")
@@ -173,6 +193,14 @@ def do_bundle_adjust(state: PipelineState) -> PipelineState:
         from ssrlcv_tpu.ba.nview import bundle_adjust_nview
 
         result = bundle_adjust_nview(state.matches, state.cameras, state.config.ba)
+    elif state.mesh is not None:
+        from ssrlcv_tpu.parallel.sharded import sharded_bundle_adjust
+
+        result = sharded_bundle_adjust(
+            state.mesh, state.matches, state.cameras,
+            iterations=state.config.ba.iterations,
+            fix_camera0=state.config.ba.fixed_camera,
+        )
     else:
         result = bundle_adjust(state.matches, state.cameras, state.config.ba)
     state.cameras = result.cameras
@@ -233,7 +261,11 @@ def _checkpoint(state: PipelineState, root: str, stage: int):
         tree["matches"] = state.matches
     if state.cloud is not None and stage >= STAGE_TRIANGULATION:
         tree["cloud"] = state.cloud
-    ckpt.save_stage(root, stage, "state", tree, meta={"stage": stage})
+    meta = {"stage": stage}
+    if state.matches is not None and stage >= STAGE_MATCHING:
+        meta["match_capacity"] = int(state.matches.capacity)
+        meta["match_views"] = int(state.matches.kp_loc.shape[1])
+    ckpt.save_stage(root, stage, "state", tree, meta=meta)
 
 
 def _restore(state: PipelineState, root: str, start: int):
@@ -250,16 +282,16 @@ def _restore(state: PipelineState, root: str, start: int):
     if last >= STAGE_MATCHING:
         meta = ckpt.load_stage_meta(root, last) or {}
         cap = meta.get("match_capacity")
+        views = meta.get("match_views", 2)
         if cap is None:
-            # probe the checkpoint for capacity
+            # legacy checkpoints (pre match_capacity meta): probe the NPZ
             import numpy as _np
 
             d = ckpt.stage_dir(root, last)
             with _np.load(os.path.join(d, "state.npz")) as z:
-                # leaves are ordered; find the matches kp_loc by ndim==3
                 caps = [z[k].shape[0] for k in z.files if z[k].ndim == 3]
                 cap = caps[0] if caps else 128
-        state.matches = MatchSet.empty(cap, 2)
+        state.matches = MatchSet.empty(cap, views)
         like["matches"] = state.matches
     if last >= STAGE_TRIANGULATION:
         t = state.matches.capacity

@@ -60,6 +60,30 @@ def test_lm_recovers_perturbed_camera(cameras_2view, filtered_matchset):
 
 
 @requires_ref
+def test_gradient_finite_with_padded_tracks(cameras_2view, matchset_2view):
+    """Regression: padded (masked) tracks carry coincident zero rays whose
+    0/0 midpoint used to poison the BA gradient through jnp.where
+    (0 * nan = nan in reverse mode).  The objective must stay differentiable
+    on capacity-padded matchsets — the pipeline's normal case."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssrlcv_tpu.ba.two_view import _pack, make_objective
+    from ssrlcv_tpu.parallel.sharded import pad_matchset
+
+    ms = pad_matchset(matchset_2view, 128)
+    assert int(ms.capacity) > int(ms.count())  # real padding present
+    obj = make_objective(ms, cameras_2view)
+    g = jax.grad(lambda p: obj(p.reshape(2, 6)))(_pack(cameras_2view).reshape(-1))
+    assert np.isfinite(np.asarray(g)).all()
+    # padding must not change the objective value either
+    obj0 = make_objective(matchset_2view, cameras_2view)
+    np.testing.assert_allclose(
+        float(obj(_pack(cameras_2view))), float(obj0(_pack(cameras_2view))), rtol=1e-6
+    )
+
+
+@requires_ref
 def test_camera0_stays_fixed(cameras_2view, filtered_matchset):
     from ssrlcv_tpu.ba.two_view import bundle_adjust_two_view
 
