@@ -21,7 +21,8 @@ FIXTURE = "/root/reference/test/checkpoints/Pipeline2View"
 BASELINE_FPS = 2.0 / 1800.0  # reference CI budget: 2-view e2e in 30 min on K40
 
 
-def run_once(fx, cams, seed_features):
+def run_once(fx, cams, seed_features, stage_s=None):
+    import jax
     import numpy as np
 
     from ssrlcv_tpu.ba.two_view import bundle_adjust_two_view
@@ -32,16 +33,32 @@ def run_once(fx, cams, seed_features):
     from ssrlcv_tpu.geometry.triangulation import two_view_triangulate
     from ssrlcv_tpu.matching import match as M
 
+    def tick(name, t0):
+        if stage_s is not None:
+            jax.block_until_ready  # barrier handled by callers passing concrete arrays
+            stage_s[name] = stage_s.get(name, 0.0) + (time.perf_counter() - t0)
+        return time.perf_counter()
+
+    t = time.perf_counter()
     f0 = generate_features(fx["images"][0].pixels, image_id=0)
+    jax.block_until_ready(f0.descriptors)
+    t = tick("sift0", t)
     f1 = generate_features(fx["images"][1].pixels, image_id=1)
+    jax.block_until_ready(f1.descriptors)
+    t = tick("sift1", t)
     sd = M.seed_distances(f0, seed_features)
     params = MatchParams(epsilon=25.0, delta=5.0)
     dm = M.match_double_constrained(f0, f1, cams, 0, 1, params, seed_dist=sd)
     ms = M.matches_to_matchset(dm, f0, f1, 0, 1)
+    jax.block_until_ready(ms.kp_loc)
+    t = tick("match", t)
     ms = F.linear_cutoff_filter(ms, cams, 100.0)
     ms = F.deterministic_statistical_filter(ms, cams, 3.0, 10)
+    jax.block_until_ready(ms.kp_loc)
+    t = tick("filter", t)
     r = bundle_adjust_two_view(ms, cams, iterations=10, mode="lm")
     pts = np.asarray(r.cloud.points)
+    t = tick("ba", t)
     n = int(np.asarray(ms.mask).sum())
     assert n > 1000, f"reconstruction collapsed: {n} points"
     return n, float(r.final_error)
@@ -71,8 +88,9 @@ def main():
 
     # warmup (compilation)
     run_once(fx, cams, seed)
+    stage_s = {}
     t0 = time.perf_counter()
-    n_points, final_err = run_once(fx, cams, seed)
+    n_points, final_err = run_once(fx, cams, seed, stage_s=stage_s)
     elapsed = time.perf_counter() - t0
 
     fps = 2.0 / elapsed
@@ -84,6 +102,7 @@ def main():
         "e2e_seconds": round(elapsed, 2),
         "points": n_points,
         "ba_final_error": round(final_err, 6),
+        "stages": {k: round(v, 3) for k, v in stage_s.items()},
     }))
 
 

@@ -115,6 +115,64 @@ def reconstruct_surface(
     return Mesh(verts, faces=faces)
 
 
+def _hier_and_normals(points, mask, camera_positions, depth: int):
+    """Shared prep for the octree-lattice meshers: hierarchy + per-sorted-
+    point normals (computeNormals with camera disambiguation,
+    Octree.cu:1373-1412)."""
+    import jax.numpy as jnp
+
+    from ssrlcv_tpu.mesh.hierarchy import build_hierarchy
+
+    hier = build_hierarchy(np.asarray(points), np.asarray(mask), depth=depth)
+    # normals in hier's sorted order, via the Morton octree estimator
+    tree = oc.build_octree(jnp.asarray(hier.points),
+                           jnp.ones(hier.points.shape[0], bool))
+    nrm_sorted = oc.compute_normals(tree, jnp.asarray(camera_positions))
+    # scatter back to hier.points order (tree.order indexes hier.points)
+    nrm = np.empty_like(hier.points)
+    nrm[np.asarray(tree.order)] = np.asarray(nrm_sorted)
+    return hier, nrm
+
+
+def marching_cubes_octree(points, mask, camera_positions, depth: int = 6) -> Mesh:
+    """Finest-level octree-lattice marching cubes (marchingCubes,
+    MeshFactory.cu:860-1014)."""
+    from ssrlcv_tpu.mesh.mc_octree import marching_cubes_level, vertex_implicit_from_normals
+
+    hier, nrm = _hier_and_normals(points, mask, camera_positions, depth)
+    imp = vertex_implicit_from_normals(hier, nrm)
+    verts, tris = marching_cubes_level(hier, imp, level=0)
+    return Mesh(verts, faces=tris)
+
+
+def adaptive_marching_cubes(points, mask, camera_positions, depth: int = 6) -> Mesh:
+    """Top-down adaptive marching cubes (adaptiveMarchingCubes,
+    MeshFactory.cu:716-858)."""
+    from ssrlcv_tpu.mesh.mc_octree import adaptive_marching_cubes as _amc
+
+    hier, nrm = _hier_and_normals(points, mask, camera_positions, depth)
+    verts, tris = _amc(hier, nrm)
+    return Mesh(verts, faces=tris)
+
+
+def jax_meshing(points, mask, camera_positions, depth: int = 6) -> Mesh:
+    """Surface-depth search + marching cubes (jaxMeshing,
+    MeshFactory.cu:1015-1211)."""
+    from ssrlcv_tpu.mesh.mc_octree import jax_meshing as _jm
+
+    hier, nrm = _hier_and_normals(points, mask, camera_positions, depth)
+    verts, tris, _level = _jm(hier, nrm)
+    return Mesh(verts, faces=tris)
+
+
+def generate_mesh(mesh: Mesh, out_dir: str, name: str, depth: int) -> str:
+    """Write ``<out_dir>/<name>_mesh_march_<depth>.ply`` (generateMesh,
+    MeshFactory.cu:1213-1285)."""
+    import os
+
+    return mesh.save_mesh(os.path.join(out_dir, f"{name}_mesh_march_{depth}"))
+
+
 def average_cloud_difference(a: np.ndarray, b: np.ndarray) -> float:
     """Mean nearest-neighbour distance from cloud a to cloud b
     (calculateAverageDifference plane-difference metric,

@@ -13,6 +13,12 @@ k-nearest-neighbour gathers, which are built here from the sorted Morton
 ordering: candidate neighbours come from a +-window in Morton order, which
 for smooth clouds is a superset-enough approximation refined by true
 distance sort.  An exact brute-force fallback covers small clouds.
+
+Accuracy (measured, pinned in tests/test_hierarchy.py): on a 12k-point
+terrain cloud at k=6 / window=32 the Morton-window distances average ~1.22x
+the exact kNN distances (median 1.0 — most queries are exact, the tail
+crosses Morton discontinuities).  Quality-sensitive consumers should prefer
+``hierarchy.knn_neighborhood`` (true 27-neighbourhood gather, <1.02x exact).
 """
 
 from __future__ import annotations
