@@ -123,21 +123,43 @@ def _compact_keypoints(kps, bucket: int = 2048, select=None):
     )
 
 
-def _device_compact(kps, capacity: int):
+def _device_compact(kps, capacity: int, select=None):
     """Device-side stable compaction to a fixed capacity: a stable argsort on
     ~mask moves live keypoints to the front in detection order (the jittable
-    replacement for host compaction; tail beyond capacity is dropped)."""
+    replacement for host compaction; tail beyond capacity is dropped).
+
+    ``select``: optional device bool array restricting which masked keypoints
+    survive (per-blur bucketing inside the fused program)."""
     from ssrlcv_tpu.features.detector import SSKeyPoints
 
-    order = jnp.argsort(~kps.mask, stable=True)[:capacity]
+    mask = kps.mask if select is None else (kps.mask & select)
+    order = jnp.argsort(~mask, stable=True)[:capacity]
     return SSKeyPoints(
         blur=jnp.maximum(kps.blur[order], 1),
         loc=kps.loc[order],
         intensity=kps.intensity[order],
         sigma=jnp.maximum(kps.sigma[order], 1e-6),
         theta=kps.theta[order],
-        mask=kps.mask[order],
+        mask=mask[order],
     )
+
+
+def _bucket_capacity(params: SIFTParams, octave_index: int, blur: int,
+                     height: int, width: int) -> int:
+    """Static per-(octave, blur-bucket) describe capacity.  Measured blur
+    distribution decays with blur (everest oct0: 9.1k/7.9k/4.8k out of a
+    65536 detect capacity), so cap/4 for the low buckets and cap/8 for the
+    top bucket keeps ~1.8x headroom; saturation is detected and logged at
+    aggregation."""
+    cap = octave_capacity(params, octave_index, height, width)
+    frac = 4 if blur < params.blurs_per_octave - 3 else 8
+    return max(cap // frac, 1024)
+
+
+def _describe_buckets(params: SIFTParams):
+    """DoG blur slices that can carry extrema: the 3x3x3 search needs a
+    slice on each side, so interior slices 1 .. (B-2)-2."""
+    return range(1, params.blurs_per_octave - 2)
 
 
 @partial(jax.jit, static_argnames=("params", "height", "width"))
@@ -152,13 +174,19 @@ def _sift_fused(pixels, params: SIFTParams, height: int, width: int):
     for o, octave in enumerate(octaves):
         cap = octave_capacity(params, o, height, width)
         kps = _detect_octave(octave.dog_raw, octave.dog_norm, params, height, width, o, cap)
-        desc_cap = max(cap // 2, 2048)
-        kps = _device_compact(kps, desc_cap)
         grads = _octave_gradients(octave.dog_norm)
         pixel_width = float(2.0 ** (params.starting_octave + o))
-        oriented = compute_orientations(grads, kps, pixel_width, params)
-        desc, loc_image = fill_descriptors(grads, oriented, pixel_width, params)
-        outs.append((oriented.blur, loc_image, oriented.sigma, oriented.theta, desc, oriented.mask))
+        # per-blur buckets: each bucket's orientation/descriptor gathers use
+        # windows sized for that blur's sigma range instead of the octave
+        # worst case (~3x fewer samples; same trick as the unfused path's
+        # host-side bucket_describe, but entirely on-device)
+        for b in _describe_buckets(params):
+            bcap = _bucket_capacity(params, o, b, height, width)
+            kb = _device_compact(kps, bcap, select=kps.blur == b)
+            w_o, w_d = _bucket_windows(params, int(b))
+            oriented = compute_orientations(grads, kb, pixel_width, params, w_max=w_o)
+            desc, loc_image = fill_descriptors(grads, oriented, pixel_width, params, w_max=w_d)
+            outs.append((oriented.blur, loc_image, oriented.sigma, oriented.theta, desc, oriented.mask))
     return tuple(outs)
 
 

@@ -19,7 +19,8 @@ from ssrlcv_tpu.core import camera_math
 from ssrlcv_tpu.core.types import Bundles, Cameras, MatchSet, PushbroomCameras
 
 
-def generate_bundles(matches: MatchSet, cameras: Cameras, params_vec: jax.Array | None = None) -> Bundles:
+def generate_bundles(matches: MatchSet, cameras: Cameras, params_vec: jax.Array | None = None,
+                     pushbrooms=None) -> Bundles:
     """Lift each track's keypoints to world-frame rays.
 
     Replicates generateBundle (PointCloudFactory.cu:4166-4199): pixel ->
@@ -30,7 +31,13 @@ def generate_bundles(matches: MatchSet, cameras: Cameras, params_vec: jax.Array 
     the reference's getFloatVector order (Image.cuh:171-186) — used by bundle
     adjustment to re-generate bundles under perturbed cameras without
     rebuilding the Cameras pytree.
+
+    ``pushbrooms``: optional PushbroomCameras; when given the pushbroom ray
+    path runs instead, matching the reference's images[0]->isPushbroom
+    dispatch (PointCloudFactory.cu:845-903).
     """
+    if pushbrooms is not None:
+        return generate_pushbroom_bundles(matches, pushbrooms)
     if params_vec is not None:
         cam_pos = params_vec[:, 0:3]
         cam_rot = params_vec[:, 3:6]

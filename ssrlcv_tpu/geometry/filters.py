@@ -26,13 +26,12 @@ def _with_mask(matches: MatchSet, mask: jax.Array) -> MatchSet:
 
 @partial(jax.jit, static_argnames=("two_view",))
 def linear_cutoff_filter(
-    matches: MatchSet, cameras: Cameras, cutoff: float, two_view: bool = True
-) -> MatchSet:
+    matches: MatchSet, cameras: Cameras, cutoff: float, two_view: bool = True, pushbrooms=None,) -> MatchSet:
     """Drop tracks whose linear error exceeds an absolute cutoff (km^2 scale:
     the reference compares the squared gap against ``cutoff`` directly —
     linearCutoffFilter, PointCloudFactory.cu:3500-3651; 100.0 at Pipeline.cu:306).
     """
-    bd = generate_bundles(matches, cameras)
+    bd = generate_bundles(matches, cameras, pushbrooms=pushbrooms)
     if two_view:
         pc, _ = two_view_triangulate(bd)
     else:
@@ -47,8 +46,7 @@ def deterministic_statistical_filter(
     cameras: Cameras,
     sigma: float,
     sample_jump: int,
-    two_view: bool = True,
-) -> MatchSet:
+    two_view: bool = True, pushbrooms=None,) -> MatchSet:
     """Variance-based error filter (deterministicStatisticalFilter,
     PointCloudFactory.cu:3070-3275).
 
@@ -56,7 +54,7 @@ def deterministic_statistical_filter(
     order, as the reference samples its physically-compacted arrays), computes
     the sample variance, and drops tracks with error > sigma * stddev.
     """
-    bd = generate_bundles(matches, cameras)
+    bd = generate_bundles(matches, cameras, pushbrooms=pushbrooms)
     if two_view:
         pc, _ = two_view_triangulate(bd)
     else:
@@ -89,12 +87,11 @@ def nondeterministic_statistical_filter(
     key: jax.Array,
     sigma: float,
     sample_count: int,
-    two_view: bool = True,
-) -> MatchSet:
+    two_view: bool = True, pushbrooms=None,) -> MatchSet:
     """Random-sample variant (nonDeterministicStatisticalFilter,
     PointCloudFactory.cu:3286-3498): same cutoff construction but the sample
     is drawn uniformly at random."""
-    bd = generate_bundles(matches, cameras)
+    bd = generate_bundles(matches, cameras, pushbrooms=pushbrooms)
     if two_view:
         pc, _ = two_view_triangulate(bd)
     else:
@@ -122,8 +119,7 @@ def planar_cutoff_filter(
     cameras: Cameras,
     cutoff: float,
     two_view: bool = True,
-    k: int = 10,
-) -> MatchSet:
+    k: int = 10, pushbrooms=None,) -> MatchSet:
     """Drop tracks whose triangulated point lies further than ``cutoff`` from
     the scene's estimated plane (planarCutoffFilter,
     PointCloudFactory.cu:3653-3828): triangulate, estimate the dominant plane
@@ -132,7 +128,7 @@ def planar_cutoff_filter(
     (filterTwoViewFromEstimatedPlane / filterNView..., :4333-4455)."""
     from ssrlcv_tpu.mesh import octree as oc
 
-    bd = generate_bundles(matches, cameras)
+    bd = generate_bundles(matches, cameras, pushbrooms=pushbrooms)
     if two_view:
         pc, _ = two_view_triangulate(bd)
     else:

@@ -64,17 +64,49 @@ def _camera_row_to_dict(row: Sequence[str]) -> dict:
     return d
 
 
-def load_params_csv(path: str) -> dict[str, dict]:
-    """Read params.csv into {filename: camera dict}."""
+def _pushbroom_row_to_dict(vals: list[str], size: tuple[int, int] | None = None) -> dict:
+    """Parse a pushbroom params.csv row:
+    ``filename,pushbroom,lat,lon,axis_radius,roll,altitude,foc,gsd_m,fov_deg``
+    (Image.cu:108-141).  gsd converts m -> km; fov deg -> rad;
+    dpix.x = foc*tan(fov/2)/(size.x/2).  The reference's ``dpix.y = dpix.y``
+    self-assignment (Image.cu:139) leaves dpix.y at its zero default —
+    replicated."""
+    d = {
+        "filename": vals[0],
+        "pushbroom": {
+            "projection_center": np.array([float(vals[2]), float(vals[3])], np.float32),
+            "axis_radius": float(vals[4]),
+            "roll": float(vals[5]),
+            "altitude": float(vals[6]),
+            "foc": float(vals[7]),
+            "gsd": float(vals[8]) / 1000.0,
+            "fov": float(vals[9]) * (np.pi / 180.0),
+        },
+    }
+    pb = d["pushbroom"]
+    if size is not None:
+        pb["dpix"] = np.array(
+            [pb["foc"] * np.tan(pb["fov"] / 2.0) / (size[0] / 2.0), 0.0], np.float32
+        )
+    else:
+        pb["dpix"] = np.zeros(2, np.float32)
+    return d
+
+
+def load_params_csv(path: str, size: tuple[int, int] | None = None) -> dict[str, dict]:
+    """Read params.csv into {filename: camera dict}.  Pushbroom rows
+    (second field == 'pushbroom', Image.cu:108) parse into a nested
+    'pushbroom' dict instead of pinhole fields."""
     out = {}
     with open(path) as f:
         for row in csv.reader(f):
             if not row or row[0].startswith("#"):
                 continue
-            if row[0].strip().lower() == "pushbroom":
-                row = row[1:]
             try:
-                d = _camera_row_to_dict(row)
+                if len(row) > 1 and row[1].strip().lower() == "pushbroom":
+                    d = _pushbroom_row_to_dict([v.strip() for v in row], size)
+                else:
+                    d = _camera_row_to_dict(row)
             except (ValueError, IndexError):
                 continue
             out[d["filename"]] = d
@@ -102,16 +134,20 @@ def load_image_with_params(path: str, image_id: int, no_params: bool = False) ->
     if not no_params:
         params_path = os.path.join(os.path.dirname(path), "params.csv")
         if os.path.exists(params_path):
-            params = load_params_csv(params_path)
+            params = load_params_csv(params_path, size=(w, h))
             key = os.path.basename(path)
             if key in params:
                 p = params[key]
-                img.cam_pos = p["cam_pos"]
-                img.cam_rot = p["cam_rot"]
-                img.fov = p["fov"]
-                img.foc = p["foc"]
-                img.dpix = p["dpix"]
-                img.timestamp = p["timestamp"]
+                if "pushbroom" in p:
+                    img.is_pushbroom = True
+                    img.pushbroom = p["pushbroom"]
+                else:
+                    img.cam_pos = p["cam_pos"]
+                    img.cam_rot = p["cam_rot"]
+                    img.fov = p["fov"]
+                    img.foc = p["foc"]
+                    img.dpix = p["dpix"]
+                    img.timestamp = p["timestamp"]
     return img
 
 
@@ -144,6 +180,38 @@ def cameras_from_refimages(images: Iterable[RefImage]) -> Cameras:
         size=jnp.array(np.array([[im.size[0], im.size[1]] for im in ims], np.int32)),
         ecef_offset=jnp.array(np.stack([im.ecef_offset for im in ims])),
         timestamp=jnp.array(np.array([im.timestamp for im in ims], np.int64)),
+    )
+
+
+def pushbrooms_from_refimages(images: Iterable[RefImage]):
+    """Stack pushbroom RefImages into the batched PushbroomCameras pytree
+    (the generateBundles pushbroom dispatch path, PointCloudFactory.cu:878-903).
+    Returns None unless image 0 is pushbroom (the reference dispatches on
+    images[0]->isPushbroom, PointCloudFactory.cu:845)."""
+    from ssrlcv_tpu.core.types import PushbroomCameras
+
+    ims = list(images)
+    if not ims or not ims[0].is_pushbroom:
+        return None
+    n = len(ims)
+
+    def get(key, shape=()):
+        return np.array(
+            [np.asarray(im.pushbroom[key], np.float32) for im in ims], np.float32
+        ).reshape((n,) + shape)
+
+    return PushbroomCameras(
+        start_pos=jnp.zeros((n, 3), jnp.float32),
+        end_pos=jnp.zeros((n, 3), jnp.float32),
+        projection_center=jnp.asarray(get("projection_center", (2,))),
+        axis_radius=jnp.asarray(get("axis_radius")),
+        roll=jnp.asarray(get("roll")),
+        altitude=jnp.asarray(get("altitude")),
+        foc=jnp.asarray(get("foc")),
+        fov=jnp.asarray(get("fov")),
+        gsd=jnp.asarray(get("gsd")),
+        dpix=jnp.asarray(get("dpix", (2,))),
+        size=jnp.array(np.array([[im.size[0], im.size[1]] for im in ims], np.int32)),
     )
 
 

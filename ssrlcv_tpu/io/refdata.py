@@ -124,6 +124,10 @@ class RefImage:
     ecef_offset: np.ndarray         # (3,) km
     is_pushbroom: bool
     pixels: Optional[np.ndarray] = None  # (H, W) uint8
+    # pushbroom camera fields parsed from a params.csv pushbroom row
+    # (Image.cu:108-141): projection_center (2,), axis_radius, roll,
+    # altitude, foc, fov, gsd, dpix (2,)
+    pushbroom: Optional[dict] = None
 
 
 def read_cpimg(path: str, pixels_dir: Optional[str] = None) -> RefImage:

@@ -205,6 +205,83 @@ def _threshold(idx, dist, q_mask, params: MatchParams, seed_dist):
     return DMatches(target_idx=idx, distance=dist, valid=valid)
 
 
+class IndexPairs(NamedTuple):
+    """Index-only matches — the reference's uint2_pair output family
+    (MatchFactory.cuh:23, generateMatchesIndexOnly MatchFactory.cu:755-860):
+    each pair is ((query image, query feature), (target image, target
+    feature)).  Invalid slots keep a == b, the reference's own invalid
+    encoding (validate(), MatchFactory.cuh:82-84)."""
+
+    query_parent: jax.Array   # (Nq,) int32 image ids
+    query_idx: jax.Array      # (Nq,) int32 feature indices
+    target_parent: jax.Array  # (Nq,) int32
+    target_idx: jax.Array     # (Nq,) int32
+    valid: jax.Array          # (Nq,) bool
+
+
+def match_index_only(dm: DMatches, query_id: int, target_id: int) -> IndexPairs:
+    """DMatches -> index-only uint2_pair form (the IndexOnly kernel family,
+    MatchFactory.cuh:346-448; used by generateMatchesExhaustive for track
+    building)."""
+    n = dm.target_idx.shape[0]
+    qidx = jnp.arange(n, dtype=jnp.int32)
+    qpar = jnp.full((n,), query_id, jnp.int32)
+    # invalid encoding: a == b (both images and indices), as validate() tests
+    tpar = jnp.where(dm.valid, jnp.int32(target_id), qpar)
+    tidx = jnp.where(dm.valid, dm.target_idx.astype(jnp.int32), qidx)
+    return IndexPairs(qpar, qidx, tpar, tidx, dm.valid)
+
+
+@jax.jit
+def validate_matches(dm: DMatches) -> DMatches:
+    """Stream-compact valid matches to the front, preserving order
+    (validateMatches' thrust::remove_if, MatchFactory.cu:32-135).  Masked
+    equivalent: invalid slots move to the tail with distance +inf."""
+    order = jnp.argsort(~dm.valid, stable=True)
+    return DMatches(
+        target_idx=dm.target_idx[order],
+        distance=jnp.where(dm.valid[order], dm.distance[order], jnp.inf),
+        valid=dm.valid[order],
+    )
+
+
+@partial(jax.jit, static_argnames=())
+def refine_matches(dm: DMatches, threshold: jax.Array | float) -> DMatches:
+    """Absolute-distance cutoff: drop matches with distance > threshold
+    (refineMatches, MatchFactory.cu:137-190).  The reference exits on
+    threshold == 0; here the caller must pass a positive threshold."""
+    keep = dm.valid & (dm.distance <= threshold)
+    return DMatches(target_idx=dm.target_idx, distance=dm.distance, valid=keep)
+
+
+@jax.jit
+def sort_matches(dm: DMatches) -> DMatches:
+    """Sort by ascending distance (sortMatches' thrust::sort with
+    match_dist_comparator, MatchFactory.cu:191-223); invalid slots sort to
+    the end via +inf."""
+    key = jnp.where(dm.valid, dm.distance, jnp.inf)
+    order = jnp.argsort(key, stable=True)
+    return DMatches(
+        target_idx=dm.target_idx[order],
+        distance=key[order],
+        valid=dm.valid[order],
+    )
+
+
+def get_raw_matches(dm: DMatches, query: FeatureSet, target: FeatureSet,
+                    query_id: int, target_id: int):
+    """Strip distances to raw keypoint-pair Matches (getRawMatches,
+    MatchFactory.cu:257-314).  Returns (loc (Nq, 2, 2), parent (Nq, 2),
+    valid (Nq,)) in query order — the array-of-struct Match layout flattened
+    to struct-of-arrays."""
+    tgt = jnp.clip(dm.target_idx, 0, target.capacity - 1)
+    loc = jnp.stack([query.loc, target.loc[tgt]], axis=1)
+    parent = jnp.broadcast_to(
+        jnp.asarray([query_id, target_id], jnp.int32), (dm.valid.shape[0], 2)
+    )
+    return loc, parent, dm.valid
+
+
 def matches_to_matchset(
     dm: DMatches,
     query: FeatureSet,

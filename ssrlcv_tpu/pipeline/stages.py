@@ -51,14 +51,19 @@ class PipelineState:
     # optional jax.sharding.Mesh: when set, matching/triangulation/BA run
     # their distributed twins from parallel/sharded.py over it
     mesh: Optional[object] = None
+    # batched PushbroomCameras when images[0].is_pushbroom
+    # (generateBundles dispatch, PointCloudFactory.cu:845-903)
+    pushbrooms: Optional[object] = None
 
 
 def do_feature_generation(state: PipelineState) -> PipelineState:
     """Stage 0 (doFeatureGeneration, Pipeline.cu:16-72): SIFT per image +
     camera assembly with image-0 ECEF offsetting (done at load)."""
     from ssrlcv_tpu.features.sift import generate_features
+    from ssrlcv_tpu.io.images import pushbrooms_from_refimages
 
     state.cameras = cameras_from_refimages(state.images)
+    state.pushbrooms = pushbrooms_from_refimages(state.images)
     feats = []
     for im in state.images:
         with logger.phase(f"sift_image_{im.id}"):
@@ -146,12 +151,12 @@ def do_triangulation(state: PipelineState) -> PipelineState:
     from ssrlcv_tpu.geometry.triangulation import triangulate
 
     two_view = len(state.images) == 2
-    if state.mesh is not None and two_view:
+    if state.mesh is not None and two_view and state.pushbrooms is None:
         from ssrlcv_tpu.parallel.sharded import sharded_triangulate
 
         pc, err = sharded_triangulate(state.mesh, state.matches, state.cameras)
     else:
-        bd = generate_bundles(state.matches, state.cameras)
+        bd = generate_bundles(state.matches, state.cameras, pushbrooms=state.pushbrooms)
         pc, err = triangulate(bd, two_view)
     state.cloud = pc
     logger.info(f"initial cloud: {int(pc.mask.sum())} points, error {float(err):.6f}")
@@ -170,13 +175,15 @@ def do_filtering(state: PipelineState) -> PipelineState:
     two_view = len(state.images) == 2
     ms = state.matches
     if two_view:
-        ms = F.linear_cutoff_filter(ms, state.cameras, cfg.linear_cutoff_km)
+        ms = F.linear_cutoff_filter(ms, state.cameras, cfg.linear_cutoff_km,
+                                    pushbrooms=state.pushbrooms)
     jump = max(int(round(1.0 / cfg.sample_fraction)), 1)
     ms = F.deterministic_statistical_filter(
-        ms, state.cameras, cfg.statistical_sigma, jump, two_view=two_view
+        ms, state.cameras, cfg.statistical_sigma, jump, two_view=two_view,
+        pushbrooms=state.pushbrooms,
     )
     state.matches = ms
-    bd = generate_bundles(ms, state.cameras)
+    bd = generate_bundles(ms, state.cameras, pushbrooms=state.pushbrooms)
     pc, err = triangulate(bd, two_view)
     state.cloud = pc
     logger.info(f"filtered cloud: {int(pc.mask.sum())} points, error {float(err):.6f}")
