@@ -41,6 +41,38 @@ def read_features(source: Union[str, TextIO]) -> dict:
     }
 
 
+def write_features(dest: Union[str, TextIO], loc, sigma, theta, values) -> None:
+    """Write keypoints in the Anatomy-of-SIFT text format (one line per
+    keypoint: ``x y sigma theta v0 .. v127``) — the inverse of
+    ``read_features``, so our SIFT output can be diffed against the IPOL
+    CLI's with their own tooling (the cross-validation hook
+    io_fmt_anatomy.cuh:23-30 points at)."""
+    if isinstance(dest, str):
+        with open(dest, "w") as f:
+            return write_features(f, loc, sigma, theta, values)
+    loc = np.asarray(loc, np.float32)
+    values = np.asarray(values, np.uint8)
+    for i in range(loc.shape[0]):
+        head = f"{loc[i, 0]:.6f} {loc[i, 1]:.6f} {float(sigma[i]):.6f} {float(theta[i]):.6f}"
+        dest.write(head + " " + " ".join(str(int(v)) for v in values[i]) + "\n")
+
+
+def write_matches(dest: Union[str, TextIO], loc0, sigma0, theta0,
+                  loc1, sigma1, theta1) -> None:
+    """Write matches in the Anatomy-of-SIFT text format
+    (``x1 y1 s1 t1 x2 y2 s2 t2`` per line; readMatches io_fmt_anatomy.cu:60)."""
+    if isinstance(dest, str):
+        with open(dest, "w") as f:
+            return write_matches(f, loc0, sigma0, theta0, loc1, sigma1, theta1)
+    loc0 = np.asarray(loc0, np.float32)
+    loc1 = np.asarray(loc1, np.float32)
+    for i in range(loc0.shape[0]):
+        dest.write(
+            f"{loc0[i, 0]:.6f} {loc0[i, 1]:.6f} {float(sigma0[i]):.6f} {float(theta0[i]):.6f} "
+            f"{loc1[i, 0]:.6f} {loc1[i, 1]:.6f} {float(sigma1[i]):.6f} {float(theta1[i]):.6f}\n"
+        )
+
+
 def read_matches(source: Union[str, TextIO]) -> dict:
     """Parse an Anatomy-of-SIFT match file.
 

@@ -69,6 +69,32 @@ def test_anatomy_reader():
     np.testing.assert_allclose(m["loc1"][0], [5, 6])
 
 
+def test_anatomy_real_scale_file(fixture_2view):
+    """Anatomy reader against a checked-in real-distribution file
+    (tests/data/anatomy_seed_features.txt: the golden seed-image feature
+    dump re-encoded in the IPOL text format by io.anatomy.write_features —
+    a genuine IPOL CLI output is not obtainable offline, so the writer +
+    the reference's own golden descriptors stand in; parity is asserted
+    against the .uty arrays bit-for-bit on the uchar descriptors)."""
+    import os
+
+    from ssrlcv_tpu.io.anatomy import read_features, write_features
+
+    path = os.path.join(os.path.dirname(__file__), "data", "anatomy_seed_features.txt")
+    f = read_features(path)
+    gold = fixture_2view["seed_features"]
+    n = f["loc"].shape[0]
+    assert n == 2000
+    np.testing.assert_allclose(f["loc"], gold["loc"][:n], atol=1e-5)
+    np.testing.assert_allclose(f["sigma"], gold["sigma"][:n], rtol=1e-5)
+    np.testing.assert_array_equal(f["values"], gold["values"][:n])
+    # writer round-trip on the parsed arrays reproduces the file verbatim
+    buf = io.StringIO()
+    write_features(buf, f["loc"], f["sigma"], f["theta"], f["values"])
+    with open(path) as fh:
+        assert buf.getvalue() == fh.read()
+
+
 def test_planar_filter_drops_off_plane_track(fixture_2view, cameras_2view, matchset_2view):
     from ssrlcv_tpu.geometry import filters as F
 
