@@ -117,6 +117,47 @@ def generate_sensitivity_functions(
     return out
 
 
+def visualize_plane_estimation(
+    cloud: PointCloud,
+    cameras: Cameras,
+    path: str,
+    scale: float = 1000.0,
+    k: int = 10,
+) -> str:
+    """Write the planar filter's estimated plane as a quad mesh PLY
+    (visualizePlaneEstimation, PointCloudFactory.cu:2813-2885): octree
+    camera-facing neighbourhood normals averaged to a plane normal, the
+    cloud centroid as the plane point, then a (2*bounds/step)^2 vertex grid
+    with z from the point-normal plane equation and quad faces curled in
+    the reference's vertex order (top-left, top-right, bottom-right,
+    bottom-left)."""
+    from ssrlcv_tpu.mesh import octree as oc
+
+    tree = oc.build_octree(cloud.points, cloud.mask)
+    normals = oc.compute_normals(tree, cameras.cam_pos, k=k)
+    w = tree.mask[:, None].astype(normals.dtype)
+    normal = jnp.sum(normals * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    normal = np.asarray(normal / jnp.maximum(jnp.linalg.norm(normal), 1e-12))
+    point = np.asarray(cloud_average(cloud.points, cloud.mask))
+
+    step = 40
+    bounds = int(scale) - (int(scale) % step)
+    xs = np.arange(-bounds, bounds, step, dtype=np.float32)
+    gx, gy = np.meshgrid(xs, xs, indexing="ij")
+    nz = normal[2] if abs(normal[2]) > 1e-12 else 1e-12
+    gz = point[2] - (normal[0] * (gx - point[0]) + normal[1] * (gy - point[1])) / nz
+    vertices = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1).astype(np.float32)
+
+    side = len(xs)
+    quads = []
+    for x in range(side - 1):
+        for y in range(side - 1):
+            loc = x * side + y
+            quads.append([loc, loc + 1, loc + side + 1, loc + side])
+    ply.write_ply(path, vertices, faces=np.asarray(quads, np.int32), binary=False)
+    return path
+
+
 def test_bundle_adjustment_noise(
     matches: MatchSet,
     cameras: Cameras,

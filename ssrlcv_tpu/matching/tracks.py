@@ -31,10 +31,20 @@ def pairwise_index_matches(
     cameras: Cameras,
     params: MatchParams,
     seed_features: Optional[FeatureSet] = None,
+    ordered: bool = False,
+    estimated_overlap: float = 0.0,
 ) -> dict[tuple[int, int], np.ndarray]:
     """Best-match index pairs for every (i < j) image pair
     (generateMatchesDoubleConstrainedIndexOnly per pair).
-    Returns {(i, j): (n, 2) array of (query_feature, target_feature)}."""
+    Returns {(i, j): (n, 2) array of (query_feature, target_feature)}.
+
+    ``ordered`` + ``estimated_overlap``: the reference's linear-sequence
+    pair skip (generateMatchesExhaustive, MatchFactory.cu:908-936) — for
+    ordered captures only pairs close enough in the sequence to overlap are
+    matched: pair (i, j) is kept while (j - i) * (1 - overlap) <= 1.  (The
+    reference's counter `++i*(1-estimatedOverlap) > 1.0f` expresses the same
+    intent through a loop-local counter; the semantic form is used here.)
+    """
     from ssrlcv_tpu.matching import match as M
 
     n = len(features)
@@ -46,6 +56,8 @@ def pairwise_index_matches(
             else None
         )
         for j in range(i + 1, n):
+            if ordered and estimated_overlap > 0.0 and (j - i) * (1.0 - estimated_overlap) > 1.0:
+                continue
             if params.mode == "double":
                 dm = M.match_double_constrained(
                     features[i], features[j], cameras, i, j, params, seed_dist=sd
@@ -121,9 +133,16 @@ def generate_matches_exhaustive(
     cameras: Cameras,
     params: MatchParams,
     seed_features: Optional[FeatureSet] = None,
+    ordered: bool = False,
+    estimated_overlap: float = 0.0,
 ) -> MatchSet:
-    """Full N-view matching -> padded MatchSet."""
-    pair_matches = pairwise_index_matches(features, cameras, params, seed_features)
+    """Full N-view matching -> padded MatchSet (generateMatchesExhaustive,
+    MatchFactory.cu:908-1028; the overlap pair skip is honoured for
+    ordered linear captures)."""
+    pair_matches = pairwise_index_matches(
+        features, cameras, params, seed_features,
+        ordered=ordered, estimated_overlap=estimated_overlap,
+    )
     counts = [f.capacity for f in features]
     tracks = build_tracks(pair_matches, len(features), counts)
 

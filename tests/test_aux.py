@@ -95,6 +95,61 @@ def test_anatomy_real_scale_file(fixture_2view):
         assert buf.getvalue() == fh.read()
 
 
+def test_visualize_plane_estimation(tmp_path, cameras_2view, matchset_2view, fixture_2view):
+    from ssrlcv_tpu.core.types import PointCloud
+    from ssrlcv_tpu.geometry.cloud_ops import visualize_plane_estimation
+    from ssrlcv_tpu.io.ply import read_ply
+
+    pts = fixture_2view["points0"]
+    cloud = PointCloud(
+        points=jnp.asarray(pts),
+        errors=jnp.zeros(len(pts), jnp.float32),
+        mask=jnp.ones(len(pts), bool),
+    )
+    p = visualize_plane_estimation(cloud, cameras_2view, str(tmp_path / "plane.ply"), scale=200.0)
+    d = read_ply(p)
+    verts, faces = d["points"], d["faces"]
+    side = 2 * (200 // 40)
+    assert verts.shape == (side * side, 3)
+    assert faces.shape == ((side - 1) ** 2, 4)  # quad encoding
+    # every vertex satisfies the plane equation it was generated from
+    n = np.cross(verts[1] - verts[0], verts[side] - verts[0])
+    n = n / np.linalg.norm(n)
+    d = np.abs((verts - verts[0]) @ n)
+    assert d.max() < 1e-2
+
+
+def test_exhaustive_overlap_skip(fixture_2view, cameras_2view):
+    """ordered + estimated_overlap skips far-apart pairs:
+    (j - i) * (1 - overlap) > 1 is dropped (MatchFactory.cu:927)."""
+    from unittest import mock
+
+    from ssrlcv_tpu.config import MatchParams
+    from ssrlcv_tpu.features.sift import features_from_refdata
+    from ssrlcv_tpu.matching import tracks as T
+
+    seed = features_from_refdata(fixture_2view["seed_features"])
+    feats = [seed] * 4
+    calls = []
+
+    def fake_match(q, t, cams, i, j, params, seed_dist=None):
+        calls.append((int(i), int(j)))
+        import jax.numpy as jnp
+        from ssrlcv_tpu.matching.match import DMatches
+        n = q.capacity
+        return DMatches(jnp.zeros(n, jnp.int32), jnp.full(n, jnp.inf), jnp.zeros(n, bool))
+
+    with mock.patch("ssrlcv_tpu.matching.match.match_double_constrained", fake_match):
+        T.pairwise_index_matches(feats, cameras_2view, MatchParams(mode="double"),
+                                 ordered=True, estimated_overlap=0.5)
+    # (1 - 0.5) * gap <= 1 keeps only gap <= 2
+    assert set(calls) == {(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)}
+    calls.clear()
+    with mock.patch("ssrlcv_tpu.matching.match.match_double_constrained", fake_match):
+        T.pairwise_index_matches(feats, cameras_2view, MatchParams(mode="double"))
+    assert len(calls) == 6  # unordered: all pairs
+
+
 def test_planar_filter_drops_off_plane_track(fixture_2view, cameras_2view, matchset_2view):
     from ssrlcv_tpu.geometry import filters as F
 
