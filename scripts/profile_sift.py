@@ -53,20 +53,19 @@ def main():
         total["grads"] += dt
         print(f"oct{o} gradients:            {dt*1e3:9.1f} ms")
         pixel_width = float(2.0 ** (params.starting_octave + o))
+        compact = jax.jit(S._device_compact, static_argnames=("capacity",))
         for b in S._describe_buckets(params):
             bcap = S._bucket_capacity(params, o, b, h, w)
-            dt, kb = t(S._device_compact, kps, bcap, select=kps.blur == b)
+            dt, kb = t(compact, kps, bcap, select=kps.blur == b)
             total["compact"] += dt
             w_o, w_d = S._bucket_windows(params, int(b))
             n = int(np.asarray(kb.mask).sum())
-            from ssrlcv_tpu.features.orientation import compute_orientations
-            from ssrlcv_tpu.features.descriptor import fill_descriptors
-            dt, oriented = t(compute_orientations, grads, kb, pixel_width, params, w_max=w_o)
+            # the jitted twin of what _sift_fused inlines per bucket
+            dt, _ = t(S._describe_octave, grads, kb, params, o,
+                      w_orient=w_o, w_desc=w_d)
             total["orient"] += dt
-            dt2, _ = t(fill_descriptors, grads, oriented, pixel_width, params, w_max=w_d)
-            total["desc"] += dt2
             print(f"oct{o} blur{b} (cap {bcap:5d}, n {n:5d}, w_o {w_o:2d}, w_d {w_d:2d}): "
-                  f"orient {dt*1e3:8.1f} ms  desc {dt2*1e3:8.1f} ms")
+                  f"orient+desc (jit) {dt*1e3:8.1f} ms")
     print("totals:", {k: f"{v*1e3:.0f} ms" for k, v in total.items()})
 
     # fused end-to-end for comparison

@@ -217,15 +217,18 @@ def generate_features(
     )
 
     if fused:
-        outs = _sift_fused(pixels, params, h, w)
-        for o, (blur, loc, sigma, theta, desc, mask) in enumerate(outs):
-            blurs_all.append(np.asarray(blur))
-            locs_all.append(np.asarray(loc))
-            sig_all.append(np.asarray(sigma))
-            theta_all.append(np.asarray(theta))
-            desc_all.append(np.asarray(desc))
-            mask_all.append(np.asarray(mask))
-            octs_all.append(np.full(mask_all[-1].shape, o))
+        # one batched device->host pull of the whole output pytree (per-array
+        # np.asarray costs a tunnel round trip each on the axon backend)
+        outs = jax.device_get(_sift_fused(pixels, params, h, w))
+        n_buckets = len(list(_describe_buckets(params)))
+        for i, (blur, loc, sigma, theta, desc, mask) in enumerate(outs):
+            blurs_all.append(blur)
+            locs_all.append(loc)
+            sig_all.append(sigma)
+            theta_all.append(theta)
+            desc_all.append(desc)
+            mask_all.append(mask)
+            octs_all.append(np.full(mask.shape, i // n_buckets))
         return _aggregate(
             params, image_id, blurs_all, locs_all, sig_all, theta_all,
             desc_all, mask_all, octs_all,
