@@ -185,9 +185,59 @@ def _sift_fused(pixels, params: SIFTParams, height: int, width: int):
             kb = _device_compact(kps, bcap, select=kps.blur == b)
             w_o, w_d = _bucket_windows(params, int(b))
             oriented = compute_orientations(grads, kb, pixel_width, params, w_max=w_o)
+            # compact the 2x-expanded oriented copies back to bcap before the
+            # descriptor pass: most keypoints carry one orientation, so the
+            # expensive descriptor gathers run over ~half the slots.  The
+            # bucket capacities keep ~1.8x headroom over measured counts, so
+            # bcap also covers the ~1.1x orientation expansion; saturation is
+            # caught below like detection saturation.
+            oriented = _device_compact(oriented, bcap)
             desc, loc_image = fill_descriptors(grads, oriented, pixel_width, params, w_max=w_d)
-            outs.append((oriented.blur, loc_image, oriented.sigma, oriented.theta, desc, oriented.mask))
+            sat = jnp.all(kb.mask) | jnp.all(oriented.mask)
+            outs.append((oriented.blur, loc_image, oriented.sigma, oriented.theta, desc, oriented.mask, sat))
     return tuple(outs)
+
+
+@partial(jax.jit, static_argnames=("params", "height", "width"))
+def _sift_fused_agg(pixels, image_id, params: SIFTParams, height: int, width: int):
+    """_sift_fused + on-device aggregation into one FeatureSet.
+
+    The concatenated bucket order (octave-major, then blur, then detection
+    order) is exactly the reference's aggregated feature order, so a stable
+    masked compaction reproduces the host `_aggregate` lexsort bit-for-bit —
+    without ever pulling the padded per-bucket pytree to the host (on a
+    tunneled/remote device that transfer dominates the whole front end).
+
+    Returns (FeatureSet, per-bucket saturation flags).
+    """
+    outs = _sift_fused(pixels, params, height, width)
+    loc = jnp.concatenate([o[1] for o in outs])
+    sigma = jnp.concatenate([o[2] for o in outs])
+    theta = jnp.concatenate([o[3] for o in outs])
+    desc = jnp.concatenate([o[4] for o in outs])
+    mask = jnp.concatenate([o[5] for o in outs])
+    sat = jnp.stack([o[6] for o in outs])
+
+    cap = params.max_keypoints
+    total = mask.shape[0]
+    if total < cap:
+        pad = cap - total
+        loc = jnp.pad(loc, ((0, pad), (0, 0)))
+        sigma = jnp.pad(sigma, ((0, pad),))
+        theta = jnp.pad(theta, ((0, pad),))
+        desc = jnp.pad(desc, ((0, pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, pad),))
+    order = jnp.argsort(~mask, stable=True)[:cap]
+    mask = mask[order]
+    fs = FeatureSet(
+        loc=jnp.where(mask[:, None], loc[order], -1.0),
+        sigma=jnp.where(mask, sigma[order], 0.0),
+        theta=jnp.where(mask, theta[order], 0.0),
+        descriptors=jnp.where(mask[:, None], desc[order], 0),
+        mask=mask,
+        parent=jnp.full((cap,), 1, jnp.int32) * image_id,
+    )
+    return fs, sat
 
 
 def generate_features(
@@ -217,22 +267,22 @@ def generate_features(
     )
 
     if fused:
-        # one batched device->host pull of the whole output pytree (per-array
-        # np.asarray costs a tunnel round trip each on the axon backend)
-        outs = jax.device_get(_sift_fused(pixels, params, h, w))
+        # fully on-device: detection, orientation, descriptors AND the final
+        # aggregation compile into one program; the FeatureSet stays in HBM
+        # (matching consumes it there) and only the tiny per-bucket
+        # saturation flags cross the host link
+        fs, sat = _sift_fused_agg(pixels, jnp.int32(image_id), params, h, w)
         n_buckets = len(list(_describe_buckets(params)))
-        for i, (blur, loc, sigma, theta, desc, mask) in enumerate(outs):
-            blurs_all.append(blur)
-            locs_all.append(loc)
-            sig_all.append(sigma)
-            theta_all.append(theta)
-            desc_all.append(desc)
-            mask_all.append(mask)
-            octs_all.append(np.full(mask.shape, i // n_buckets))
-        return _aggregate(
-            params, image_id, blurs_all, locs_all, sig_all, theta_all,
-            desc_all, mask_all, octs_all,
-        )
+        for i, s in enumerate(np.asarray(sat)):
+            if s:
+                from ssrlcv_tpu.logging import logger
+
+                logger.warn(
+                    f"image {image_id} octave {i // n_buckets} blur bucket "
+                    f"{i % n_buckets}: keypoint capacity saturated — "
+                    "keypoints were dropped; raise SIFTParams capacity heuristics"
+                )
+        return fs
 
     octaves = ss.build_scale_space(pixels, params, h, w)
 
