@@ -7,9 +7,20 @@ prints ONE JSON line:
     {"metric": "reconstruction_fps", "value": N, "unit": "frames/s",
      "vs_baseline": N}
 
-Baseline: the reference's CI budget for the same end-to-end 2-view run is a
-30-minute Slurm limit on a K40 (scripts/sub-run-sfm-2.sh, BASELINE.md) =
-2 frames / 1800 s.  vs_baseline is ours / that.
+Baseline: the reference publishes no throughput numbers; its CI budget for
+the same end-to-end 2-view run is a 30-minute Slurm limit on a K40
+(scripts/sub-run-sfm-2.sh, BASELINE.md) = 2 frames / 1800 s.  vs_baseline is
+ours / that budget — i.e. a LOWER BOUND on the true speedup (the real K40
+run is faster than its Slurm ceiling; "baseline_kind" records this).
+
+Honest-reporting extras (VERDICT r2 #7):
+  * stages_device_s — min-of-3 warm re-execution times per stage, which
+    bounds device time much tighter than the one-shot wall clocks in
+    "stages" (the tunnel adds ~100 ms of RTT noise per dispatch);
+  * mfu_match — achieved fraction of v5e bf16 MXU peak for the flagship
+    Pallas matcher (flops = the 4 nibble-split (Nq,128)x(128,Nt) matmuls);
+  * cloud_vs_golden_m — median metres between our initial triangulated
+    cloud and the reference golden cloud (Pipeline2View/0_6float3.uty).
 """
 
 import json
@@ -19,6 +30,7 @@ import time
 
 FIXTURE = "/root/reference/test/checkpoints/Pipeline2View"
 BASELINE_FPS = 2.0 / 1800.0  # reference CI budget: 2-view e2e in 30 min on K40
+V5E_BF16_PEAK_FLOPS = 197e12  # per-chip MXU peak (conservative for int8)
 
 
 def run_once(fx, cams, seed_features, stage_s=None):
@@ -35,7 +47,6 @@ def run_once(fx, cams, seed_features, stage_s=None):
 
     def tick(name, t0):
         if stage_s is not None:
-            jax.block_until_ready  # barrier handled by callers passing concrete arrays
             stage_s[name] = stage_s.get(name, 0.0) + (time.perf_counter() - t0)
         return time.perf_counter()
 
@@ -61,7 +72,64 @@ def run_once(fx, cams, seed_features, stage_s=None):
     t = tick("ba", t)
     n = int(np.asarray(ms.mask).sum())
     assert n > 1000, f"reconstruction collapsed: {n} points"
-    return n, float(r.final_error)
+    return n, float(r.final_error), (f0, f1, sd, params, ms)
+
+
+def _min_of(fn, reps=3):
+    import jax
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def extra_metrics(fx, cams, seed, arts):
+    """Warm per-stage device-time bounds + match MFU + golden-cloud drift."""
+    import jax
+    import numpy as np
+    from scipy.spatial import cKDTree
+
+    from ssrlcv_tpu.features.sift import generate_features
+    from ssrlcv_tpu.geometry.bundles import generate_bundles
+    from ssrlcv_tpu.geometry.triangulation import two_view_triangulate
+    from ssrlcv_tpu.matching import match as M
+
+    f0, f1, sd, params, ms = arts
+    dev = {}
+    dev["sift_per_image"] = _min_of(
+        lambda: generate_features(fx["images"][0].pixels, image_id=0).descriptors)
+    dev["match"] = _min_of(
+        lambda: M.match_double_constrained(
+            f0, f1, cams, 0, 1, params, seed_dist=sd).target_idx)
+
+    pc, _ = two_view_triangulate(generate_bundles(ms, cams))
+    dev["triangulate"] = _min_of(
+        lambda: two_view_triangulate(generate_bundles(ms, cams))[0].points)
+
+    # MFU of the flagship Pallas matcher alone (brute-force mode, both
+    # capacity-padded sets): 4 nibble matmuls of (nq,128)x(128,nt)
+    from ssrlcv_tpu.matching.pallas_match import (
+        QUERY_TILE, TARGET_TILE, pallas_best_target)
+    import jax.numpy as jnp
+
+    inf2 = jnp.full((f0.capacity, 2), jnp.inf, jnp.float32)
+    t_match = _min_of(lambda: pallas_best_target(
+        f0.descriptors, f1.descriptors, f1.loc, inf2, inf2,
+        jnp.float32(0.0), f1.mask)[1])
+    nq_pad = -(-f0.capacity // QUERY_TILE) * QUERY_TILE
+    nt_pad = -(-f1.capacity // TARGET_TILE) * TARGET_TILE
+    flops = 4 * 2 * nq_pad * nt_pad * 128
+    mfu = flops / t_match / V5E_BF16_PEAK_FLOPS
+
+    # initial-cloud drift vs the reference golden cloud, in metres
+    mine = np.asarray(pc.points)[np.asarray(ms.mask)]
+    d, _ = cKDTree(fx["points0"]).query(mine)
+    cloud_m = float(np.median(d)) * 1000.0
+
+    return {k: round(v, 4) for k, v in dev.items()}, round(mfu, 4), round(cloud_m, 3)
 
 
 def main():
@@ -90,8 +158,9 @@ def main():
     run_once(fx, cams, seed)
     stage_s = {}
     t0 = time.perf_counter()
-    n_points, final_err = run_once(fx, cams, seed, stage_s=stage_s)
+    n_points, final_err, arts = run_once(fx, cams, seed, stage_s=stage_s)
     elapsed = time.perf_counter() - t0
+    dev_s, mfu_match, cloud_m = extra_metrics(fx, cams, seed, arts)
 
     fps = 2.0 / elapsed
     print(json.dumps({
@@ -99,10 +168,14 @@ def main():
         "value": round(fps, 4),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
+        "baseline_kind": "ci_budget_upper_bound (lower bound of true speedup)",
         "e2e_seconds": round(elapsed, 2),
         "points": n_points,
         "ba_final_error": round(final_err, 6),
+        "cloud_vs_golden_m": cloud_m,
+        "mfu_match": mfu_match,
         "stages": {k: round(v, 3) for k, v in stage_s.items()},
+        "stages_device_s": dev_s,
     }))
 
 

@@ -122,6 +122,58 @@ def strat_g(gpacked, bi, cy, cx):
     return jnp.stack([gx, gy], axis=-1)
 
 
+def strat_h(gpacked, bi, cy, cx):
+    """Pallas double-buffered per-keypoint patch DMA: (S, 128) rows straight
+    from HBM to VMEM keyed by scalar-prefetched indices, magnitude reduction
+    in the lane frame (the candidate kernel shape for orientation+descriptor)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    SP = ((S + 7) // 8) * 8  # sublane-aligned patch height
+
+    def kernel(bi_ref, y0_ref, x0_ref, hbm_ref, out_ref, patch, sem):
+        k = pl.program_id(0)
+        nk = pl.num_programs(0)
+
+        def dma(slot, idx):
+            return pltpu.make_async_copy(
+                hbm_ref.at[bi_ref[idx], pl.ds(y0_ref[idx], SP), pl.ds(x0_ref[idx], LANES)],
+                patch.at[slot],
+                sem.at[slot],
+            )
+
+        @pl.when(k == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when(k + 1 < nk)
+        def _():
+            dma((k + 1) % 2, k + 1).start()
+
+        dma(k % 2, k).wait()
+        u = patch[k % 2].view(jnp.uint32)
+        lo = (u & 0xFFFF).astype(jnp.uint16).view(jnp.float16).astype(jnp.float32)
+        hi = (u >> 16).astype(jnp.uint16).view(jnp.float16).astype(jnp.float32)
+        out_ref[0, :] = jnp.sum(jnp.sqrt(lo * lo + hi * hi), axis=0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(K,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, LANES), lambda k, *_: (k, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, SP, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K, LANES), jnp.float32),
+    )(bi, jnp.clip(cy - WMAX, 0, H - SP), jnp.clip(cx - LANES // 2, 0, W - LANES),
+      gpacked)
+
+
 def main():
     n_elem = K * S * S * 2
     dt, ref = t(strat_a, grads, bi, cy, cx)
@@ -134,6 +186,9 @@ def main():
     dt, outg = t(strat_g, gpacked, bi, cy, cx)
     err = float(jnp.max(jnp.abs(outg - ref)))
     print(f"G patch + take_along_axis:        {dt*1e3:8.1f} ms  maxerr={err:.2e}")
+    dt, outh = t(strat_h, gpacked, bi, cy, cx)
+    bw = K * ((S + 7) // 8 * 8) * LANES * 4 / dt / 1e9
+    print(f"H pallas patch DMA (lane frame):  {dt*1e3:8.1f} ms  {bw:7.1f} GB/s patch traffic")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,146 @@
+"""Defensible scaling evidence without multi-chip hardware (VERDICT r2 #8).
+
+Wall clock on a virtual CPU mesh is meaningless (all "devices" share one
+host), so this measures what actually determines multi-chip scaling:
+
+  * fixed work PER DEVICE (weak scaling): each device owns the same number
+    of tracks/queries at every mesh size, and
+  * the COMMUNICATION the compiled program adds as the mesh grows — counted
+    by parsing collective ops (all-reduce / all-gather / collective-permute /
+    reduce-scatter / all-to-all) and their operand bytes out of the
+    optimized HLO for each mesh size.
+
+A program weak-scales well iff per-device compute stays constant (it does by
+construction here) and collective bytes per device stay small/constant
+relative to compute.  Correctness of the sharded stages vs their
+single-device twins is separately enforced by tests/test_sharded.py.
+
+Run: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+     python scripts/bench_scaling_proxy.py
+"""
+
+import json
+import os
+import re
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from ssrlcv_tpu.core.types import Cameras, MatchSet
+from ssrlcv_tpu.parallel import sharded
+from ssrlcv_tpu.parallel.mesh import make_mesh
+
+DT_BYTES = {"f32": 4, "f64": 8, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+            "s8": 1, "u8": 1, "pred": 1, "s64": 8, "u64": 8}
+COLLECTIVES = ("all-reduce", "all-gather", "collective-permute",
+               "reduce-scatter", "all-to-all")
+
+
+def collective_stats(hlo_text: str):
+    """Count collective ops and their result bytes in optimized HLO."""
+    ops = 0
+    bytes_total = 0
+    for line in hlo_text.splitlines():
+        s = line.strip()
+        m = re.match(r".*= *((?:\([^)]*\)|\S+)) ([a-z\-]+)\(", s)
+        if not m or m.group(2) not in COLLECTIVES:
+            continue
+        ops += 1
+        for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", m.group(1)):
+            if dt not in DT_BYTES:
+                continue
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            bytes_total += n * DT_BYTES[dt]
+    return ops, bytes_total
+
+
+def fixed_work_inputs(n_dev, tracks_per_dev=256, n_cams=2):
+    rng = np.random.default_rng(0)
+    tracks = tracks_per_dev * n_dev
+    cams = Cameras(
+        cam_pos=jnp.asarray(rng.normal(0, 10, (n_cams, 3)).astype(np.float32)),
+        cam_rot=jnp.asarray(rng.normal(0, 0.1, (n_cams, 3)).astype(np.float32)),
+        fov=jnp.full((n_cams, 2), 0.0418879),
+        foc=jnp.full((n_cams,), 0.8593),
+        dpix=jnp.full((n_cams, 2), 3.515625e-05),
+        size=jnp.full((n_cams, 2), 1024, jnp.int32),
+        ecef_offset=jnp.zeros((n_cams, 3)),
+        timestamp=jnp.zeros((n_cams,), jnp.int32),
+    )
+    ms = MatchSet(
+        kp_loc=jnp.asarray(rng.uniform(100, 900, (tracks, 2, 2)).astype(np.float32)),
+        kp_parent=jnp.tile(jnp.array([0, 1], jnp.int32), (tracks, 1)),
+        num_views=jnp.full((tracks,), 2, jnp.int32),
+        mask=jnp.ones((tracks,), bool),
+    )
+    return cams, ms
+
+
+def main():
+    results = []
+    for n_dev in (1, 2, 4, 8):
+        devices = jax.devices()[:n_dev]
+        mesh = make_mesh(devices, data=n_dev, feat=1)
+        cams, ms = fixed_work_inputs(n_dev)
+        p0 = jnp.concatenate([cams.cam_pos, cams.cam_rot], axis=1).reshape(-1)
+
+        # one sharded BA LM step — the collective-heaviest stage (psum of
+        # grad + 12x12 Hessian + error per iteration)
+        from functools import partial
+
+        ba = jax.jit(partial(sharded.sharded_ba_step, mesh, ms, cams))
+        txt = ba.lower(p0, 1e-3).compile().as_text()
+        ba_ops, ba_bytes = collective_stats(txt)
+
+        # feat-sharded matching reduction at fixed per-device query count
+        q = jnp.zeros((256 * n_dev, 128), jnp.uint8)
+        t = jnp.zeros((512, 128), jnp.uint8)
+        bt = jax.jit(lambda q_, t_: sharded.sharded_best_target(
+            make_mesh(devices, data=n_dev, feat=1), q_, t_, jnp.ones(512, bool)))
+        txt2 = bt.lower(q, t).compile().as_text()
+        m_ops, m_bytes = collective_stats(txt2)
+
+        results.append({
+            "devices": n_dev,
+            "tracks_per_device": 256,
+            "ba_step": {"collective_ops": ba_ops, "collective_bytes": ba_bytes,
+                        "collective_bytes_per_device": ba_bytes // n_dev},
+            "match": {"collective_ops": m_ops, "collective_bytes": m_bytes},
+        })
+        print(f"n={n_dev}: ba collectives={ba_ops} ({ba_bytes} B), "
+              f"match collectives={m_ops} ({m_bytes} B)")
+
+    out = {
+        "method": "fixed-work-per-device weak scaling; collective op/byte counts "
+                  "parsed from optimized HLO (virtual CPU mesh - wall clock "
+                  "deliberately NOT reported, it is meaningless on one host)",
+        "correctness": "tests/test_sharded.py enforces exact agreement of every "
+                       "sharded stage with its single-device twin",
+        "interpretation": "per-device compute is constant by construction; "
+                          "scaling efficiency is bounded by collective bytes per "
+                          "device, which stay O(model) (12-param camera system + "
+                          "scalars) independent of track count",
+        "results": results,
+    }
+    path = os.path.join(os.path.dirname(__file__), "..", "SCALING_r03.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 
 from ssrlcv_tpu.config import SIFTParams
 from ssrlcv_tpu.core.types import FeatureSet
@@ -85,17 +86,19 @@ def generate_dense_sift(
     )
 
 
+@struct.dataclass
 class WindowFeatures:
-    """Dense NxN patch descriptors (host container).
+    """Dense NxN patch descriptors (pytree — flows through the jitted
+    matcher family exactly like FeatureSet, mirroring the reference's
+    MatchFactory<Window_NxN> instantiations, MatchFactory.cu:7-12).
 
     descriptors: (K, N*N) uint8 raw patches; loc: (K, 2).
     """
 
-    def __init__(self, loc: jax.Array, descriptors: jax.Array, mask: jax.Array, window: int):
-        self.loc = loc
-        self.descriptors = descriptors
-        self.mask = mask
-        self.window = window
+    loc: jax.Array
+    descriptors: jax.Array
+    mask: jax.Array
+    window: int = struct.field(pytree_node=False, default=9)
 
     @property
     def capacity(self):

@@ -182,6 +182,7 @@ def _sift_fused(pixels, params: SIFTParams, height: int, width: int):
         # host-side bucket_describe, but entirely on-device)
         for b in _describe_buckets(params):
             bcap = _bucket_capacity(params, o, b, height, width)
+            n_det = jnp.sum((kps.mask & (kps.blur == b)).astype(jnp.int32))
             kb = _device_compact(kps, bcap, select=kps.blur == b)
             w_o, w_d = _bucket_windows(params, int(b))
             oriented = compute_orientations(grads, kb, pixel_width, params, w_max=w_o)
@@ -189,11 +190,13 @@ def _sift_fused(pixels, params: SIFTParams, height: int, width: int):
             # descriptor pass: most keypoints carry one orientation, so the
             # expensive descriptor gathers run over ~half the slots.  The
             # bucket capacities keep ~1.8x headroom over measured counts, so
-            # bcap also covers the ~1.1x orientation expansion; saturation is
-            # caught below like detection saturation.
+            # bcap also covers the ~1.1x orientation expansion.
+            n_ori = jnp.sum(oriented.mask.astype(jnp.int32))
             oriented = _device_compact(oriented, bcap)
             desc, loc_image = fill_descriptors(grads, oriented, pixel_width, params, w_max=w_d)
-            sat = jnp.all(kb.mask) | jnp.all(oriented.mask)
+            # exact overflow signal: pre-compaction counts vs capacity (a full
+            # mask alone does not imply anything was dropped)
+            sat = (n_det > bcap) | (n_ori > bcap)
             outs.append((oriented.blur, loc_image, oriented.sigma, oriented.theta, desc, oriented.mask, sat))
     return tuple(outs)
 
@@ -219,6 +222,9 @@ def _sift_fused_agg(pixels, image_id, params: SIFTParams, height: int, width: in
     sat = jnp.stack([o[6] for o in outs])
 
     cap = params.max_keypoints
+    # global truncation: total valid features beyond max_keypoints are dropped
+    # by the argsort[:cap] below — flag it like per-bucket saturation
+    overflow = jnp.sum(mask.astype(jnp.int32)) > cap
     total = mask.shape[0]
     if total < cap:
         pad = cap - total
@@ -237,7 +243,28 @@ def _sift_fused_agg(pixels, image_id, params: SIFTParams, height: int, width: in
         mask=mask,
         parent=jnp.full((cap,), 1, jnp.int32) * image_id,
     )
-    return fs, sat
+    return fs, sat, overflow
+
+
+def log_saturation(image_id, sat, overflow, params: SIFTParams):
+    """Host-side capacity warnings for one image's fused-SIFT run."""
+    from ssrlcv_tpu.logging import logger
+
+    n_buckets = len(list(_describe_buckets(params)))
+    for i, s in enumerate(np.asarray(sat)):
+        if s:
+            # buckets iterate DoG blur slices 1..B-3 (_describe_buckets)
+            logger.warn(
+                f"image {image_id} octave {i // n_buckets} DoG blur slice "
+                f"{i % n_buckets + 1}: keypoint capacity saturated — "
+                "keypoints were dropped; raise SIFTParams capacity heuristics"
+            )
+    if bool(np.asarray(overflow)):
+        logger.warn(
+            f"image {image_id}: total valid features exceed max_keypoints="
+            f"{params.max_keypoints} — tail dropped by global aggregation; "
+            "raise SIFTParams.max_keypoints"
+        )
 
 
 def generate_features(
@@ -271,17 +298,8 @@ def generate_features(
         # aggregation compile into one program; the FeatureSet stays in HBM
         # (matching consumes it there) and only the tiny per-bucket
         # saturation flags cross the host link
-        fs, sat = _sift_fused_agg(pixels, jnp.int32(image_id), params, h, w)
-        n_buckets = len(list(_describe_buckets(params)))
-        for i, s in enumerate(np.asarray(sat)):
-            if s:
-                from ssrlcv_tpu.logging import logger
-
-                logger.warn(
-                    f"image {image_id} octave {i // n_buckets} blur bucket "
-                    f"{i % n_buckets}: keypoint capacity saturated — "
-                    "keypoints were dropped; raise SIFTParams capacity heuristics"
-                )
+        fs, sat, overflow = _sift_fused_agg(pixels, jnp.int32(image_id), params, h, w)
+        log_saturation(image_id, sat, overflow, params)
         return fs
 
     octaves = ss.build_scale_space(pixels, params, h, w)

@@ -54,6 +54,16 @@ def distance_matrix(q_desc: jax.Array, t_desc: jax.Array) -> jax.Array:
     return qn[:, None] + tn[None, :] - 2 * cross
 
 
+def sad_matrix(q_desc: jax.Array, t_desc: jax.Array) -> jax.Array:
+    """(Nq, D) x (Nt, D) uint8 -> (Nq, Nt) int32 exact sum-of-absolute-
+    differences — the Window_NxN distProtocol (Feature.cuh:96-130).  L1 has
+    no MXU factorisation; the VPU broadcast-reduce is still far wider than
+    the reference's 32-thread warp scan."""
+    q = q_desc.astype(jnp.int32)
+    t = t_desc.astype(jnp.int32)
+    return jnp.sum(jnp.abs(q[:, None, :] - t[None, :, :]), axis=-1)
+
+
 def best_target_chunked(
     q_desc: jax.Array,
     t_desc: jax.Array,
@@ -61,6 +71,7 @@ def best_target_chunked(
     mask_fn: Optional[Callable] = None,
     mask_aux: Optional[tuple] = None,
     chunk: int = 1024,
+    metric: str = "l2sq",
 ):
     """argmin over targets per query.
 
@@ -68,7 +79,8 @@ def best_target_chunked(
     is a tuple of per-query arrays chunked alongside the descriptors (e.g.
     epipolar segment endpoints).  Returns (best_idx int32, best_dist f32);
     disallowed/invalid targets are +inf, ties resolve to the lowest target
-    index.
+    index.  metric: 'l2sq' (SIFT distProtocol, Feature.cuh:89) or 'sad'
+    (Window_NxN distProtocol, Feature.cuh:96-130).
     """
     nq = q_desc.shape[0]
     n_chunks = (nq + chunk - 1) // chunk
@@ -81,10 +93,11 @@ def best_target_chunked(
         return pad0(x).reshape((n_chunks, chunk) + x.shape[1:])
 
     aux = tuple(chunked(a) for a in (mask_aux or ()))
+    dist_fn = {"l2sq": distance_matrix, "sad": sad_matrix}[metric]
 
     def body(xs):
         qc = xs[0]
-        d = distance_matrix(qc, t_desc).astype(jnp.float32)
+        d = dist_fn(qc, t_desc).astype(jnp.float32)
         bad = ~t_valid[None, :]
         if mask_fn is not None:
             bad = bad | ~mask_fn(*xs[1:])
@@ -97,9 +110,10 @@ def best_target_chunked(
     return idx.reshape(-1)[:nq], dist.reshape(-1)[:nq]
 
 
-@partial(jax.jit, static_argnames=("chunk",))
-def min_distance(q_desc: jax.Array, t_desc: jax.Array, t_valid: jax.Array, chunk: int = 1024):
+@partial(jax.jit, static_argnames=("chunk", "metric"))
+def min_distance(q_desc: jax.Array, t_desc: jax.Array, t_valid: jax.Array,
+                 chunk: int = 1024, metric: str = "l2sq"):
     """Per-query minimum distance to any valid target — the seed-distance
     pass (getSeedMatchDistances, MatchFactory.cu:1432-1461)."""
-    _, dist = best_target_chunked(q_desc, t_desc, t_valid, chunk=chunk)
+    _, dist = best_target_chunked(q_desc, t_desc, t_valid, chunk=chunk, metric=metric)
     return dist

@@ -38,10 +38,13 @@ class DMatches(NamedTuple):
     valid: jax.Array       # (Nq,) bool
 
 
-def seed_distances(features: FeatureSet, seed: FeatureSet, chunk: int = 1024) -> jax.Array:
+def seed_distances(features, seed, chunk: int = 1024, metric: str = "l2sq") -> jax.Array:
     """Nearest seed-descriptor distance per feature
-    (MatchFactory::getSeedDistances, MatchFactory.cu:315-346)."""
-    if _use_pallas():
+    (MatchFactory::getSeedDistances, MatchFactory.cu:315-346).  Works for any
+    descriptor family exposing (descriptors, loc, mask) — SIFT (l2sq) or
+    Window_NxN (sad), like the reference's template instantiations
+    (MatchFactory.cu:7-12)."""
+    if metric == "l2sq" and features.descriptors.shape[1] == 128 and _use_pallas():
         from ssrlcv_tpu.matching.pallas_match import pallas_best_target
 
         inf2 = jnp.full((features.capacity, 2), jnp.inf, jnp.float32)
@@ -50,7 +53,8 @@ def seed_distances(features: FeatureSet, seed: FeatureSet, chunk: int = 1024) ->
             inf2, inf2, jnp.float32(0.0), seed.mask,
         )
         return dist
-    return min_distance(features.descriptors, seed.descriptors, seed.mask, chunk=chunk)
+    return min_distance(features.descriptors, seed.descriptors, seed.mask,
+                        chunk=chunk, metric=metric)
 
 
 def _epipolar_segment_mask(p1, p2, t_loc, epsilon):
@@ -102,7 +106,7 @@ def _use_pallas() -> bool:
         return False
 
 
-@partial(jax.jit, static_argnames=("params", "chunk", "backend"))
+@partial(jax.jit, static_argnames=("params", "chunk", "backend", "index_only", "metric"))
 def match_double_constrained(
     query: FeatureSet,
     target: FeatureSet,
@@ -113,11 +117,17 @@ def match_double_constrained(
     seed_dist: Optional[jax.Array] = None,
     chunk: int = 1024,
     backend: str = "auto",
+    index_only: bool = False,
+    metric: str = "l2sq",
 ) -> DMatches:
     """Earth-geometry epipolar-segment constrained matching
     (generateDistanceMatchesDoubleConstrained, MatchFactory.cu:600-652).
 
     backend: 'pallas' (fused kernel), 'xla' (chunked), or 'auto'.
+    index_only: apply the IndexOnly kernels' UNSQUARED relative-seed
+    threshold (MatchFactory.cu:2907) instead of the DMatch kernels' squared
+    one (:2278) — the reference quirk that makes its N-view pairing looser
+    than its 2-view matching.
     """
     qi, ti = query_index, target_index
     P = camera_math.projection_matrix(
@@ -131,7 +141,8 @@ def match_double_constrained(
         P, params.delta,
     )
 
-    if backend == "pallas" or (backend == "auto" and _use_pallas()):
+    pallas_ok = metric == "l2sq" and query.descriptors.shape[1] == 128
+    if backend == "pallas" or (backend == "auto" and pallas_ok and _use_pallas()):
         from ssrlcv_tpu.matching.pallas_match import pallas_best_target
 
         idx, dist = pallas_best_target(
@@ -144,11 +155,13 @@ def match_double_constrained(
             mask_fn=lambda a, b: _epipolar_segment_mask(a, b, target.loc, params.epsilon),
             mask_aux=(p1, p2),
             chunk=chunk,
+            metric=metric,
         )
-    return _threshold(idx, dist, query.mask, params, seed_dist)
+    return _threshold(idx, dist, query.mask, params, seed_dist,
+                      squared=not index_only)
 
 
-@partial(jax.jit, static_argnames=("params", "chunk", "backend"))
+@partial(jax.jit, static_argnames=("params", "chunk", "backend", "index_only", "metric"))
 def match_brute_force(
     query: FeatureSet,
     target: FeatureSet,
@@ -156,10 +169,14 @@ def match_brute_force(
     seed_dist: Optional[jax.Array] = None,
     chunk: int = 1024,
     backend: str = "auto",
+    index_only: bool = False,
+    metric: str = "l2sq",
 ) -> DMatches:
     """Unconstrained kNN matching (generateDistanceMatches,
-    MatchFactory.cu:500-560)."""
-    if backend == "pallas" or (backend == "auto" and _use_pallas()):
+    MatchFactory.cu:500-560).  index_only: unsquared relative-seed threshold
+    (the IndexOnly kernel family quirk, MatchFactory.cu:2751)."""
+    pallas_ok = metric == "l2sq" and query.descriptors.shape[1] == 128
+    if backend == "pallas" or (backend == "auto" and pallas_ok and _use_pallas()):
         from ssrlcv_tpu.matching.pallas_match import pallas_best_target
 
         inf2 = jnp.full((query.capacity, 2), jnp.inf, jnp.float32)
@@ -169,12 +186,14 @@ def match_brute_force(
         )
     else:
         idx, dist = best_target_chunked(
-            query.descriptors, target.descriptors, target.mask, chunk=chunk
+            query.descriptors, target.descriptors, target.mask, chunk=chunk,
+            metric=metric,
         )
-    return _threshold(idx, dist, query.mask, params, seed_dist)
+    return _threshold(idx, dist, query.mask, params, seed_dist,
+                      squared=not index_only)
 
 
-@partial(jax.jit, static_argnames=("params", "chunk"))
+@partial(jax.jit, static_argnames=("params", "chunk", "metric"))
 def match_fmatrix_constrained(
     query: FeatureSet,
     target: FeatureSet,
@@ -182,6 +201,7 @@ def match_fmatrix_constrained(
     params: MatchParams,
     seed_dist: Optional[jax.Array] = None,
     chunk: int = 1024,
+    metric: str = "l2sq",
 ) -> DMatches:
     """F-matrix epipolar-line constrained matching
     (generateDistanceMatchesConstrained, MatchFactory.cu:560-600)."""
@@ -190,18 +210,20 @@ def match_fmatrix_constrained(
         mask_fn=lambda q: _fmatrix_mask(q, F, target.loc, params.epsilon),
         mask_aux=(query.loc,),
         chunk=chunk,
+        metric=metric,
     )
     return _threshold(idx, dist, query.mask, params, seed_dist)
 
 
-def _threshold(idx, dist, q_mask, params: MatchParams, seed_dist):
+def _threshold(idx, dist, q_mask, params: MatchParams, seed_dist, squared=True):
     valid = q_mask & jnp.isfinite(dist) & (dist < params.absolute_threshold)
     if seed_dist is not None:
-        # reference: invalid if dist/seed > relativeThreshold^2
-        # (MatchFactory.cu:2278)
-        valid = valid & (
-            dist / jnp.maximum(seed_dist, 1e-20) <= params.relative_threshold ** 2
-        )
+        # reference DMatch kernels: invalid if dist/seed > relativeThreshold^2
+        # (MatchFactory.cu:2278); the IndexOnly kernel family compares
+        # UNSQUARED (dist/seed > relativeThreshold, MatchFactory.cu:2751,
+        # :2814, :2907) — the N-view pairing is deliberately-or-not looser
+        rel = params.relative_threshold ** 2 if squared else params.relative_threshold
+        valid = valid & (dist / jnp.maximum(seed_dist, 1e-20) <= rel)
     return DMatches(target_idx=idx, distance=dist, valid=valid)
 
 

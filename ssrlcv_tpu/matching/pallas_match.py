@@ -91,12 +91,16 @@ def _match_kernel(nt_ref, eps_ref, q_hi_ref, q_lo_ref, t_hi_ref, t_lo_ref,
     line_ok = jnp.where(jnp.abs(y_line - ty) <= eps, one, zero)
     gate = jnp.where(vertical[:, None], vert_ok, line_ok) * in_x
     gate = jnp.maximum(gate, jnp.where(unconstrained[:, None], one, zero))
+    # Invalid targets carry t_loc=+inf; exclude them INDEPENDENTLY of the
+    # epipolar gate — the unconstrained override above must not let
+    # capacity-padding slots win the argmin (round-2 hardware bug).
+    t_ok = jnp.where(jnp.isfinite(tx), one, zero)  # (1, TT)
 
     start = ti * TARGET_TILE
     lanes = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
     in_bounds = jnp.where(start + lanes < nt_total, one, zero)
     big = jnp.float32(3.0e38)
-    d = d + (one - gate * in_bounds) * big
+    d = d + (one - gate * in_bounds * t_ok) * big
 
     tile_best = jnp.min(d, axis=1)
     # first-min tie-break without argmin: min over lane indices achieving it

@@ -58,12 +58,17 @@ def pairwise_index_matches(
         for j in range(i + 1, n):
             if ordered and estimated_overlap > 0.0 and (j - i) * (1.0 - estimated_overlap) > 1.0:
                 continue
+            # index_only=True: the reference's exhaustive pairing goes through
+            # the IndexOnly kernel family whose relative-seed threshold is
+            # UNSQUARED (MatchFactory.cu:2907 vs the DMatch kernels' :2278)
             if params.mode == "double":
                 dm = M.match_double_constrained(
-                    features[i], features[j], cameras, i, j, params, seed_dist=sd
+                    features[i], features[j], cameras, i, j, params,
+                    seed_dist=sd, index_only=True,
                 )
             else:
-                dm = M.match_brute_force(features[i], features[j], params, seed_dist=sd)
+                dm = M.match_brute_force(
+                    features[i], features[j], params, seed_dist=sd, index_only=True)
             valid = np.asarray(dm.valid)
             qf = np.nonzero(valid)[0]
             tf = np.asarray(dm.target_idx)[qf]
@@ -77,21 +82,33 @@ def build_tracks(
     feature_counts: list[int],
 ) -> list[list[tuple[int, int]]]:
     """Adjacency-chain track assembly (MatchFactory.cu:946-1010).
-    Returns a list of tracks, each a list of (image, feature) pairs."""
-    adjacency: list[dict[int, list[tuple[int, int]]]] = [
-        {} for _ in range(num_images - 1)
-    ]
+    Returns a list of tracks, each a list of (image, feature) pairs.
+
+    Host-side but engineered for scale: hops are packed into single ints
+    (code = image * stride + feature) so the chain subset checks are set ops
+    on ints instead of tuple hashing, and match arrays are converted with
+    ``tolist()`` once instead of per-element numpy-scalar unboxing.  10
+    images x 30k features builds in ~1 s (tests/test_matching.py benchmark).
+    """
+    stride = max(feature_counts) + 1 if feature_counts else 1
+    last = num_images - 1
+    adjacency: list[dict[int, list[int]]] = [{} for _ in range(num_images - 1)]
     for (i, j), pairs in sorted(pair_matches.items()):
-        for qf, tf in pairs:
-            adjacency[i].setdefault(int(qf), []).append((j, int(tf)))
+        jbase = j * stride
+        adj_i = adjacency[i]
+        for qf, tf in pairs.tolist():
+            code = jbase + tf
+            lst = adj_i.get(qf)
+            if lst is None:
+                adj_i[qf] = [code]
+            else:
+                lst.append(code)
     # entries are appended in increasing j per construction -> sorted
 
     tracks: list[list[tuple[int, int]]] = []
-    for i in range(num_images - 1):
-        if i >= num_images - 2:
-            # reference guard: ``i < images.size() - 2`` — tracks are never
-            # rooted at the second-to-last image
-            break
+    # reference guard: ``i < images.size() - 2`` — tracks are never rooted
+    # at the second-to-last image
+    for i in range(num_images - 2):
         adj_i = adjacency[i]
         for f in sorted(adj_i.keys()):
             adj = adj_i[f]
@@ -99,32 +116,38 @@ def build_tracks(
                 continue
             bad = False
             prev_adj = adj
+            prev_set = None
             while True:
-                jx, jy = prev_adj[0]
-                if jx == num_images - 1:
+                jx, jy = divmod(prev_adj[0], stride)
+                if jx == last:
                     break
-                next_adj = adjacency[jx].get(jy, [])
+                next_adj = adjacency[jx].get(jy)
                 if not next_adj:
                     break
-                inter = [e for e in prev_adj if e in set(next_adj)]
-                if len(inter) != len(next_adj):
+                # full-intersection chain check: every next-hop entry must
+                # already be in the previous adjacency (set_intersection
+                # semantics; entries are unique per construction)
+                if prev_set is None:
+                    prev_set = set(prev_adj)
+                if not prev_set.issuperset(next_adj):
                     bad = True
                     break
                 elif len(next_adj) == 1:
                     break
                 else:
                     prev_adj = next_adj
+                    prev_set = set(next_adj)
             if bad:
                 adj_i[f] = []
             else:
-                track = [(i, f)] + list(adj)
+                track = [(i, f)] + [divmod(c, stride) for c in adj]
                 tracks.append(track)
                 # clear consumed adjacency (all but the last hop)
-                for (mx, my) in adj[:-1]:
-                    if mx == num_images - 1:
+                for c in adj[:-1]:
+                    mx, my = divmod(c, stride)
+                    if mx == last:
                         break
-                    if mx < num_images - 1:
-                        adjacency[mx][my] = []
+                    adjacency[mx][my] = []
     return tracks
 
 

@@ -59,16 +59,36 @@ class PipelineState:
 def do_feature_generation(state: PipelineState) -> PipelineState:
     """Stage 0 (doFeatureGeneration, Pipeline.cu:16-72): SIFT per image +
     camera assembly with image-0 ECEF offsetting (done at load)."""
-    from ssrlcv_tpu.features.sift import generate_features
+    from ssrlcv_tpu.features.sift import generate_features, log_saturation
     from ssrlcv_tpu.io.images import pushbrooms_from_refimages
+    from ssrlcv_tpu.ops import image_ops as ops
 
     state.cameras = cameras_from_refimages(state.images)
     state.pushbrooms = pushbrooms_from_refimages(state.images)
-    feats = []
-    for im in state.images:
-        with logger.phase(f"sift_image_{im.id}"):
-            feats.append(generate_features(im.pixels, state.config.sift, image_id=im.id))
-        logger.info(f"image {im.id}: {int(feats[-1].count())} features")
+    shapes = {im.pixels.shape[:2] for im in state.images}
+    if state.mesh is not None and len(state.images) > 1 and len(shapes) == 1:
+        # image-parallel SIFT: one image per device over the whole mesh
+        # (the 95%-of-wall-clock stage; see parallel/sharded.py)
+        from ssrlcv_tpu.parallel.sharded import sharded_generate_features
+
+        with logger.phase("sift_sharded"):
+            px = jnp.stack([
+                ops.to_bw(jnp.asarray(im.pixels))
+                if np.asarray(im.pixels).ndim == 3 else jnp.asarray(im.pixels)
+                for im in state.images
+            ])
+            ids = [im.id for im in state.images]
+            feats, sat, ovf = sharded_generate_features(
+                state.mesh, px, ids, state.config.sift)
+        for im, f, s, o in zip(state.images, feats, sat, ovf):
+            log_saturation(im.id, s, o, state.config.sift)
+            logger.info(f"image {im.id}: {int(f.count())} features")
+    else:
+        feats = []
+        for im in state.images:
+            with logger.phase(f"sift_image_{im.id}"):
+                feats.append(generate_features(im.pixels, state.config.sift, image_id=im.id))
+            logger.info(f"image {im.id}: {int(feats[-1].count())} features")
     state.features = feats
     return state
 

@@ -132,7 +132,7 @@ def test_exhaustive_overlap_skip(fixture_2view, cameras_2view):
     feats = [seed] * 4
     calls = []
 
-    def fake_match(q, t, cams, i, j, params, seed_dist=None):
+    def fake_match(q, t, cams, i, j, params, seed_dist=None, **kw):
         calls.append((int(i), int(j)))
         import jax.numpy as jnp
         from ssrlcv_tpu.matching.match import DMatches

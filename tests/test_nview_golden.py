@@ -99,3 +99,47 @@ def test_nview_bundle_adjust_reduces_error(cameras_3view, matchset_3view):
     )
     r = bundle_adjust_nview(matchset_3view, cams_p, BAParams(iterations=8))
     assert float(r.final_error) < float(r.initial_error)
+
+
+@pytest.mark.slow
+@requires_ref
+def test_e2e_3view_from_images(fixture_3view, cameras_3view):
+    """End-to-end 3-view golden gate (VERDICT r2 #5): SIFT on the three
+    fixture images -> exhaustive double-constrained pairing -> transitive
+    track building -> N-view triangulation, compared against the reference
+    golden MultiMatch count (0_N6ssrlcv10MultiMatchE.uty) and cloud
+    (0_6float3.uty).  This proves tracks.py's chain/invalidation quirks
+    through the real front end, not just from the golden MatchSet."""
+    from scipy.spatial import cKDTree
+
+    from ssrlcv_tpu.config import MatchParams
+    from ssrlcv_tpu.features.sift import features_from_refdata, generate_features
+    from ssrlcv_tpu.geometry import bundles as B
+    from ssrlcv_tpu.geometry import triangulation as T
+    from ssrlcv_tpu.matching.tracks import generate_matches_exhaustive
+
+    feats = [
+        generate_features(im.pixels, image_id=i, fused=True)
+        for i, im in enumerate(fixture_3view["images"])
+    ]
+    seed = features_from_refdata(fixture_3view["seed_features"])
+    # the reference 3-view run: epsilon=25 px, delta=5 km
+    # (test/Pipeline.cu FeatureMatching3View input {.., 25, 5})
+    params = MatchParams(epsilon=25.0, delta=5.0)
+    ms = generate_matches_exhaustive(feats, cameras_3view, params, seed_features=seed)
+
+    n_tracks = int(ms.count())
+    golden_tracks = len(fixture_3view["multimatches0"][0])
+    # measured: 21181 vs golden 21177 (0.03% — SIFT keypoint-tail noise
+    # through 3 pairwise matches); 1% bounds it while catching any
+    # threshold/chain semantics break (e.g. the squared-vs-unsquared
+    # IndexOnly relative threshold this gate caught in round 3)
+    assert abs(n_tracks - golden_tracks) <= 0.01 * golden_tracks, (
+        f"{n_tracks} tracks vs golden {golden_tracks}")
+
+    pc, _ = T.n_view_triangulate(B.generate_bundles(ms, cameras_3view))
+    mine = np.asarray(pc.points)[np.asarray(ms.mask)]
+    ref = fixture_3view["points0"]
+    d, _ = cKDTree(ref).query(mine)
+    assert np.median(d) < 0.001, f"median {np.median(d)*1000:.1f} m from golden cloud"
+    assert (d < 0.1).mean() > 0.98
