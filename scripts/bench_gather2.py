@@ -125,53 +125,65 @@ def strat_g(gpacked, bi, cy, cx):
 def strat_h(gpacked, bi, cy, cx):
     """Pallas double-buffered per-keypoint patch DMA: (S, 128) rows straight
     from HBM to VMEM keyed by scalar-prefetched indices, magnitude reduction
-    in the lane frame (the candidate kernel shape for orientation+descriptor)."""
+    in the lane frame (the candidate kernel shape for orientation+descriptor).
+    8 keypoints per grid step (output sublane alignment)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    SP = ((S + 7) // 8) * 8  # sublane-aligned patch height
+    # HBM DMA slice starts must be tile-aligned ((8, 128) for f32): align
+    # row starts down to 8 and lane starts down to 128, fetch a larger patch
+    SPA = ((S + 7) // 8) * 8 + 8   # aligned patch height covers any 8-offset
+    LW = 256                       # 2 lane tiles cover any 128-offset window
+    KB = 8                         # keypoints per grid step
 
     def kernel(bi_ref, y0_ref, x0_ref, hbm_ref, out_ref, patch, sem):
-        k = pl.program_id(0)
-        nk = pl.num_programs(0)
+        g = pl.program_id(0)
+        ng = pl.num_programs(0)
 
-        def dma(slot, idx):
+        def dma(slot, gidx, i):
+            idx = gidx * KB + i
+            y = pl.multiple_of(y0_ref[idx], 8)
+            x = pl.multiple_of(x0_ref[idx], 128)
             return pltpu.make_async_copy(
-                hbm_ref.at[bi_ref[idx], pl.ds(y0_ref[idx], SP), pl.ds(x0_ref[idx], LANES)],
-                patch.at[slot],
-                sem.at[slot],
+                hbm_ref.at[bi_ref[idx], pl.ds(y, SPA), pl.ds(x, LW)],
+                patch.at[slot, i],
+                sem.at[slot, i],
             )
 
-        @pl.when(k == 0)
+        @pl.when(g == 0)
         def _():
-            dma(0, 0).start()
+            for i in range(KB):
+                dma(0, 0, i).start()
 
-        @pl.when(k + 1 < nk)
+        @pl.when(g + 1 < ng)
         def _():
-            dma((k + 1) % 2, k + 1).start()
+            for i in range(KB):
+                dma((g + 1) % 2, g + 1, i).start()
 
-        dma(k % 2, k).wait()
-        u = patch[k % 2].view(jnp.uint32)
-        lo = (u & 0xFFFF).astype(jnp.uint16).view(jnp.float16).astype(jnp.float32)
-        hi = (u >> 16).astype(jnp.uint16).view(jnp.float16).astype(jnp.float32)
-        out_ref[0, :] = jnp.sum(jnp.sqrt(lo * lo + hi * hi), axis=0)
+        for i in range(KB):
+            dma(g % 2, g, i).wait()
+        # (production uses two plain f32 gx/gy planes — no f16 unpack, which
+        # Mosaic cannot bitcast in-register anyway)
+        p = patch[g % 2]  # (KB, SPA, LW)
+        out_ref[:, :] = jnp.sum(jnp.abs(p), axis=1)[:, :LANES]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(K,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((1, LANES), lambda k, *_: (k, 0)),
+        grid=(K // KB,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((KB, LANES), lambda g, *_: (g, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, SP, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, KB, SPA, LW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, KB)),
         ],
     )
+    y0 = jnp.clip((cy - WMAX) & ~7, 0, H - SPA)
+    x0 = jnp.clip((cx - LANES // 2) & ~127, 0, W - LW)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((K, LANES), jnp.float32),
-    )(bi, jnp.clip(cy - WMAX, 0, H - SP), jnp.clip(cx - LANES // 2, 0, W - LANES),
-      gpacked)
+    )(bi, y0, x0, gpacked)
 
 
 def main():
@@ -187,7 +199,7 @@ def main():
     err = float(jnp.max(jnp.abs(outg - ref)))
     print(f"G patch + take_along_axis:        {dt*1e3:8.1f} ms  maxerr={err:.2e}")
     dt, outh = t(strat_h, gpacked, bi, cy, cx)
-    bw = K * ((S + 7) // 8 * 8) * LANES * 4 / dt / 1e9
+    bw = K * (((S + 7) // 8 * 8) + 8) * 256 * 4 / dt / 1e9
     print(f"H pallas patch DMA (lane frame):  {dt*1e3:8.1f} ms  {bw:7.1f} GB/s patch traffic")
 
 

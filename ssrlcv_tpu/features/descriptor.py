@@ -41,19 +41,27 @@ def max_desc_window(params: SIFTParams) -> int:
 
 
 def fill_descriptors(
-    grads: jax.Array,       # (B, H, W, 2) normalised-DoG gradients
+    grads: jax.Array,       # (B, H, W, 2) normalised-DoG gradients, or
+                            # (H, W, 2) single plane when use_patches
     kps: SSKeyPoints,       # oriented keypoints (theta filled)
     pixel_width: float,
     params: SIFTParams,
     chunk: int = 512,
     w_max: int | None = None,
+    use_patches: bool = False,
+    w_patch: int | None = None,
 ):
     """Returns (descriptors (K, 128) uint8, loc_image (K, 2) float32).
 
     loc_image = octave loc * pixel_width (absolute image coordinates,
     SIFT_FeatureFactory.cu:545).
+
+    use_patches: replace the rotated-coordinate multi-dim gather with
+    Pallas patch extraction + within-patch take_along_axis
+    (features/patches.py) — bit-identical sampled values; grads must then
+    be one (H, W, 2) plane.
     """
-    _, h, w, _ = grads.shape
+    h, w = grads.shape[-3], grads.shape[-2]
     if w_max is None:
         w_max = max_desc_window(params)
     s = 2 * w_max + 1
@@ -90,11 +98,21 @@ def fill_descriptors(
 
         xi = jnp.clip(jnp.round(cxs + loc[:, 0:1]).astype(jnp.int32), 0, w - 1)
         yi = jnp.clip(jnp.round(cys + loc[:, 1:2]).astype(jnp.int32), 0, h - 1)
-        g = grads[blur[:, None], yi, xi]  # (C, S2, 2)
-        mag = jnp.sqrt(g[..., 0] ** 2 + g[..., 1] ** 2)
+        if use_patches:
+            from ssrlcv_tpu.features.patches import extract_patches, sample_in_patches
+
+            interp = jax.default_backend() == "cpu"
+            ppx, ppy, y0, x0 = extract_patches(
+                grads[..., 0], grads[..., 1], loc, w_patch or w_max,
+                interpret=interp)
+            g_x, g_y = sample_in_patches(ppx, ppy, y0, x0, yi, xi)  # (C, S2)
+        else:
+            g = grads[blur[:, None], yi, xi]  # (C, S2, 2)
+            g_x, g_y = g[..., 0], g[..., 1]
+        mag = jnp.sqrt(g_x ** 2 + g_y ** 2)
         wgt = mag * jnp.exp(-(cxs * cxs + cys * cys) / (2.0 * win[:, None] ** 2))
         ang = jnp.fmod(
-            jnp.arctan2(g[..., 1], g[..., 0]) - theta[:, None] + 2.0 * jnp.pi,
+            jnp.arctan2(g_y, g_x) - theta[:, None] + 2.0 * jnp.pi,
             2.0 * jnp.pi,
         )  # sign-preserving fmod like C fmodf
         wgt = jnp.where(valid_s, wgt, 0.0)

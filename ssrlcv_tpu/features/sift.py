@@ -168,6 +168,10 @@ def _sift_fused(pixels, params: SIFTParams, height: int, width: int):
     detection, device-side compaction, orientation, descriptors.  One host
     dispatch + one result fetch per image — the layout for high-latency
     device links (remote/tunneled TPUs) where per-call round trips dominate.
+
+    (The Pallas patch path deliberately does NOT live in this program: a
+    single program embedding a dozen Pallas kernels OOM-kills the XLA compile
+    helper; _sift_patches_agg splits it into per-bucket dispatches instead.)
     """
     octaves = ss.build_scale_space(pixels, params, height, width)
     outs = []
@@ -182,38 +186,87 @@ def _sift_fused(pixels, params: SIFTParams, height: int, width: int):
         # host-side bucket_describe, but entirely on-device)
         for b in _describe_buckets(params):
             bcap = _bucket_capacity(params, o, b, height, width)
-            n_det = jnp.sum((kps.mask & (kps.blur == b)).astype(jnp.int32))
-            kb = _device_compact(kps, bcap, select=kps.blur == b)
             w_o, w_d = _bucket_windows(params, int(b))
-            oriented = compute_orientations(grads, kb, pixel_width, params, w_max=w_o)
-            # compact the 2x-expanded oriented copies back to bcap before the
-            # descriptor pass: most keypoints carry one orientation, so the
-            # expensive descriptor gathers run over ~half the slots.  The
-            # bucket capacities keep ~1.8x headroom over measured counts, so
-            # bcap also covers the ~1.1x orientation expansion.
-            n_ori = jnp.sum(oriented.mask.astype(jnp.int32))
-            oriented = _device_compact(oriented, bcap)
-            desc, loc_image = fill_descriptors(grads, oriented, pixel_width, params, w_max=w_d)
-            # exact overflow signal: pre-compaction counts vs capacity (a full
-            # mask alone does not imply anything was dropped)
-            sat = (n_det > bcap) | (n_ori > bcap)
-            outs.append((oriented.blur, loc_image, oriented.sigma, oriented.theta, desc, oriented.mask, sat))
+            outs.append(_describe_bucket(
+                kps, grads, params, int(b), bcap, w_o, w_d, pixel_width))
     return tuple(outs)
 
 
+def _describe_bucket(kps, grads, params: SIFTParams, b: int, bcap: int,
+                     w_o: int, w_d: int, pixel_width: float,
+                     orientation_kernel: bool = False):
+    """One blur bucket: compact -> orientations -> compact -> descriptors.
+
+    ``grads`` is (B, H, W, 2); ``orientation_kernel`` routes the histogram
+    through the fused Pallas kernel (orient_kernel.py) using the bucket's
+    single gradient plane.  Returns the per-bucket output tuple
+    (blur, loc, sigma, theta, desc, mask, sat).
+    """
+    n_det = jnp.sum((kps.mask & (kps.blur == b)).astype(jnp.int32))
+    kb = _device_compact(kps, bcap, select=kps.blur == b)
+    oriented = compute_orientations(
+        grads[b] if orientation_kernel else grads, kb, pixel_width, params,
+        w_max=w_o, use_kernel=orientation_kernel)
+    # compact the 2x-expanded oriented copies back to bcap before the
+    # descriptor pass: most keypoints carry one orientation, so the
+    # expensive descriptor pass runs over ~half the slots.  The bucket
+    # capacities keep ~1.8x headroom over measured counts, so bcap also
+    # covers the ~1.1x orientation expansion.
+    n_ori = jnp.sum(oriented.mask.astype(jnp.int32))
+    oriented = _device_compact(oriented, bcap)
+    desc, loc_image = fill_descriptors(
+        grads, oriented, pixel_width, params, w_max=w_d)
+    # exact overflow signal: pre-compaction counts vs capacity (a full
+    # mask alone does not imply anything was dropped)
+    sat = (n_det > bcap) | (n_ori > bcap)
+    return (oriented.blur, loc_image, oriented.sigma, oriented.theta, desc,
+            oriented.mask, sat)
+
+
 @partial(jax.jit, static_argnames=("params", "height", "width"))
-def _sift_fused_agg(pixels, image_id, params: SIFTParams, height: int, width: int):
-    """_sift_fused + on-device aggregation into one FeatureSet.
+def _sift_detect_all(pixels, params: SIFTParams, height: int, width: int):
+    """Scale space + detection + gradients for every octave (one program,
+    no Pallas).  Returns a tuple of (keypoints, grads) per octave with the
+    results left in HBM for the per-bucket describe dispatches."""
+    octaves = ss.build_scale_space(pixels, params, height, width)
+    out = []
+    for o, octave in enumerate(octaves):
+        cap = octave_capacity(params, o, height, width)
+        kps = _detect_octave(octave.dog_raw, octave.dog_norm, params, height, width, o, cap)
+        grads = _octave_gradients(octave.dog_norm)
+        out.append((kps, grads))
+    return tuple(out)
+
+
+@partial(jax.jit, static_argnames=("params", "b", "bcap", "w_o", "w_d",
+                                   "pixel_width"))
+def _describe_bucket_kernel(kps, grads, params: SIFTParams, b: int,
+                            bcap: int, w_o: int, w_d: int,
+                            pixel_width: float):
+    """Jitted per-bucket describe with the Pallas orientation kernel —
+    dispatched separately per bucket so no single program carries more than
+    one Pallas kernel (the XLA compile helper OOMs otherwise)."""
+    return _describe_bucket(kps, grads, params, b, bcap, w_o, w_d,
+                            pixel_width, orientation_kernel=True)
+
+
+@partial(jax.jit, static_argnames=("params", "b", "bcap", "w_o", "w_d",
+                                   "pixel_width"))
+def _describe_bucket_gather(kps, grads, params: SIFTParams, b: int,
+                            bcap: int, w_o: int, w_d: int, pixel_width: float):
+    """Gather-path twin for octaves too small for patch extraction."""
+    return _describe_bucket(kps, grads, params, b, bcap, w_o, w_d, pixel_width)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _aggregate_device(outs, image_id, params: SIFTParams):
+    """On-device aggregation of per-bucket outputs into one FeatureSet.
 
     The concatenated bucket order (octave-major, then blur, then detection
     order) is exactly the reference's aggregated feature order, so a stable
-    masked compaction reproduces the host `_aggregate` lexsort bit-for-bit —
-    without ever pulling the padded per-bucket pytree to the host (on a
-    tunneled/remote device that transfer dominates the whole front end).
-
-    Returns (FeatureSet, per-bucket saturation flags).
+    masked compaction reproduces the host `_aggregate` lexsort bit-for-bit.
+    Returns (FeatureSet, per-bucket saturation flags, overflow flag).
     """
-    outs = _sift_fused(pixels, params, height, width)
     loc = jnp.concatenate([o[1] for o in outs])
     sigma = jnp.concatenate([o[2] for o in outs])
     theta = jnp.concatenate([o[3] for o in outs])
@@ -246,6 +299,44 @@ def _sift_fused_agg(pixels, image_id, params: SIFTParams, height: int, width: in
     return fs, sat, overflow
 
 
+@partial(jax.jit, static_argnames=("params", "height", "width"))
+def _sift_fused_agg(pixels, image_id, params: SIFTParams, height: int, width: int):
+    """_sift_fused + on-device aggregation into one FeatureSet (one device
+    program; no Pallas — see _sift_patches_agg for the patch path).
+
+    Returns (FeatureSet, per-bucket saturation flags, overflow flag).
+    """
+    outs = _sift_fused(pixels, params, height, width)
+    return _aggregate_device(outs, image_id, params)
+
+
+def _sift_tpu_agg(pixels, image_id, params: SIFTParams,
+                  height: int, width: int):
+    """SIFT front end with the fused Pallas orientation kernel: one
+    detection dispatch, one describe dispatch per (octave, bucket) — each
+    holding one Pallas kernel — and one aggregation dispatch.  ~15
+    dispatches instead of 1, but every value stays in HBM between them and
+    the orientation histograms never issue a gather.
+    """
+    from ssrlcv_tpu.features.patches import patches_supported
+
+    per_octave = _sift_detect_all(pixels, params, height, width)
+    outs = []
+    for o, (kps, grads) in enumerate(per_octave):
+        ph, pw = int(grads.shape[1]), int(grads.shape[2])
+        pixel_width = float(2.0 ** (params.starting_octave + o))
+        for b in _describe_buckets(params):
+            bcap = _bucket_capacity(params, o, b, height, width)
+            w_o, w_d = _bucket_windows(params, int(b))
+            if patches_supported(ph, pw, w_o):
+                outs.append(_describe_bucket_kernel(
+                    kps, grads, params, int(b), bcap, w_o, w_d, pixel_width))
+            else:
+                outs.append(_describe_bucket_gather(
+                    kps, grads, params, int(b), bcap, w_o, w_d, pixel_width))
+    return _aggregate_device(tuple(outs), jnp.int32(image_id), params)
+
+
 def log_saturation(image_id, sat, overflow, params: SIFTParams):
     """Host-side capacity warnings for one image's fused-SIFT run."""
     from ssrlcv_tpu.logging import logger
@@ -272,6 +363,7 @@ def generate_features(
     params: Optional[SIFTParams] = None,
     image_id: int = -1,
     fused: Optional[bool] = None,
+    tpu_kernels: Optional[bool] = None,
 ) -> FeatureSet:
     """Generate SIFT features for one grayscale uint8 image.
 
@@ -288,6 +380,10 @@ def generate_features(
 
     if fused is None:
         fused = jax.devices()[0].platform not in ("cpu",)
+    if tpu_kernels is None:
+        # the fused Pallas orientation kernel only compiles on TPU-class
+        # backends (interpret mode exists for tests but is slow)
+        tpu_kernels = jax.devices()[0].platform not in ("cpu",)
 
     blurs_all, locs_all, sig_all, theta_all, desc_all, mask_all, octs_all = (
         [], [], [], [], [], [], []
@@ -298,7 +394,10 @@ def generate_features(
         # aggregation compile into one program; the FeatureSet stays in HBM
         # (matching consumes it there) and only the tiny per-bucket
         # saturation flags cross the host link
-        fs, sat, overflow = _sift_fused_agg(pixels, jnp.int32(image_id), params, h, w)
+        if tpu_kernels:
+            fs, sat, overflow = _sift_tpu_agg(pixels, image_id, params, h, w)
+        else:
+            fs, sat, overflow = _sift_fused_agg(pixels, jnp.int32(image_id), params, h, w)
         log_saturation(image_id, sat, overflow, params)
         return fs
 

@@ -136,28 +136,25 @@ def gaussian_kernel_1d(sigma: float, pixel_width: float, base_size: int = 8) -> 
 def convolve_separable_symmetric(img: jax.Array, taps: np.ndarray) -> jax.Array:
     """Separable 2-D convolution with symmetric border (convolveSeparable +
     getSymmetrizedCoord).  The kernel is symmetric so convolution ==
-    correlation.  Lowered as two 1-D TPU convolutions."""
+    correlation.
+
+    Lowered as shifted multiply-adds rather than lax.conv: TPU lowers
+    1-channel spatial convolutions to ~1.4 Gflop/s scalar code (the conv
+    pyramid alone cost 3.1 s/image), while the slice+FMA form fuses into
+    plain VPU vector code.  The accumulation order over taps matches the
+    reference's scalar loop exactly."""
     half = len(taps) // 2
-    k = jnp.asarray(taps, img.dtype)
     h, w = img.shape
     # symmetric pad then valid conv; jnp.pad 'symmetric' matches the
     # reference's reflect-with-edge-repeat coordinates for pads <= dim
     pad = jnp.pad(img, ((0, 0), (half, half)), mode="symmetric")
-    x = jax.lax.conv_general_dilated(
-        pad[None, None, :, :],
-        k[None, None, None, :],
-        window_strides=(1, 1),
-        padding="VALID",
-        precision=jax.lax.Precision.HIGHEST,
-    )[0, 0]
+    x = jnp.zeros_like(img)
+    for t, tap in enumerate(taps):
+        x = x + img.dtype.type(tap) * jax.lax.slice(pad, (0, t), (h, t + w))
     pad = jnp.pad(x, ((half, half), (0, 0)), mode="symmetric")
-    y = jax.lax.conv_general_dilated(
-        pad[None, None, :, :],
-        k[None, None, :, None],
-        window_strides=(1, 1),
-        padding="VALID",
-        precision=jax.lax.Precision.HIGHEST,
-    )[0, 0]
+    y = jnp.zeros_like(img)
+    for t, tap in enumerate(taps):
+        y = y + img.dtype.type(tap) * jax.lax.slice(pad, (t, 0), (t + h, w))
     return y
 
 

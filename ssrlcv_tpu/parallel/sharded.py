@@ -216,6 +216,8 @@ def sharded_generate_features(mesh: Mesh, pixels, image_ids, sift_params):
     spec = P((DATA_AXIS, FEAT_AXIS))
 
     def kernel(px_local, ids_local):
+        # NOTE: uses the gather-path fused program — the Pallas patch driver
+        # is a multi-dispatch host loop and cannot live inside shard_map
         outs = [
             _sift_fused_agg(px_local[i], ids_local[i], sift_params, h, w)
             for i in range(local_n)
