@@ -50,6 +50,7 @@ def fill_descriptors(
     w_max: int | None = None,
     use_patches: bool = False,
     w_patch: int | None = None,
+    use_kernel: bool = False,
 ):
     """Returns (descriptors (K, 128) uint8, loc_image (K, 2) float32).
 
@@ -64,6 +65,24 @@ def fill_descriptors(
     h, w = grads.shape[-3], grads.shape[-2]
     if w_max is None:
         w_max = max_desc_window(params)
+    if use_kernel:
+        # fused Pallas path (desc_kernel.py): raw 128-bin histograms from
+        # in-VMEM rotated sampling, epilogue identical to below; grads is
+        # one (H, W, 2) plane
+        from ssrlcv_tpu.features.desc_kernel import descriptor_histograms
+
+        interp = jax.default_backend() == "cpu"
+        v = descriptor_histograms(
+            grads[..., 0], grads[..., 1], kps.loc, kps.theta, kps.sigma,
+            float(pixel_width), float(params.descriptor_contrib_width),
+            w_max, interpret=interp)
+        n1 = jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True))
+        v = jnp.minimum(v / jnp.maximum(n1, 1e-20), 0.2)
+        n2 = jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True))
+        v = jnp.round(255.0 * v / jnp.maximum(n2, 1e-20))
+        desc = jnp.clip(v, 0, 255).astype(jnp.uint8)
+        desc = jnp.where(kps.mask[:, None], desc, 0)
+        return desc, kps.loc * pixel_width
     s = 2 * w_max + 1
     offs = jnp.arange(s, dtype=jnp.float32) - w_max
     dxg, dyg = jnp.meshgrid(offs, offs, indexing="xy")  # (S, S) sample lattice

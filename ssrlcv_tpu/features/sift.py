@@ -194,19 +194,20 @@ def _sift_fused(pixels, params: SIFTParams, height: int, width: int):
 
 def _describe_bucket(kps, grads, params: SIFTParams, b: int, bcap: int,
                      w_o: int, w_d: int, pixel_width: float,
-                     orientation_kernel: bool = False):
+                     tpu_kernels: bool = False):
     """One blur bucket: compact -> orientations -> compact -> descriptors.
 
-    ``grads`` is (B, H, W, 2); ``orientation_kernel`` routes the histogram
-    through the fused Pallas kernel (orient_kernel.py) using the bucket's
-    single gradient plane.  Returns the per-bucket output tuple
+    ``grads`` is (B, H, W, 2); ``tpu_kernels`` routes the orientation and
+    descriptor histograms through the fused Pallas kernels
+    (orient_kernel.py / desc_kernel.py) using the bucket's single gradient
+    plane.  Returns the per-bucket output tuple
     (blur, loc, sigma, theta, desc, mask, sat).
     """
     n_det = jnp.sum((kps.mask & (kps.blur == b)).astype(jnp.int32))
     kb = _device_compact(kps, bcap, select=kps.blur == b)
     oriented = compute_orientations(
-        grads[b] if orientation_kernel else grads, kb, pixel_width, params,
-        w_max=w_o, use_kernel=orientation_kernel)
+        grads[b] if tpu_kernels else grads, kb, pixel_width, params,
+        w_max=w_o, use_kernel=tpu_kernels)
     # compact the 2x-expanded oriented copies back to bcap before the
     # descriptor pass: most keypoints carry one orientation, so the
     # expensive descriptor pass runs over ~half the slots.  The bucket
@@ -215,7 +216,8 @@ def _describe_bucket(kps, grads, params: SIFTParams, b: int, bcap: int,
     n_ori = jnp.sum(oriented.mask.astype(jnp.int32))
     oriented = _device_compact(oriented, bcap)
     desc, loc_image = fill_descriptors(
-        grads, oriented, pixel_width, params, w_max=w_d)
+        grads[b] if tpu_kernels else grads, oriented, pixel_width, params,
+        w_max=w_d, use_kernel=tpu_kernels)
     # exact overflow signal: pre-compaction counts vs capacity (a full
     # mask alone does not imply anything was dropped)
     sat = (n_det > bcap) | (n_ori > bcap)
@@ -243,11 +245,11 @@ def _sift_detect_all(pixels, params: SIFTParams, height: int, width: int):
 def _describe_bucket_kernel(kps, grads, params: SIFTParams, b: int,
                             bcap: int, w_o: int, w_d: int,
                             pixel_width: float):
-    """Jitted per-bucket describe with the Pallas orientation kernel —
-    dispatched separately per bucket so no single program carries more than
-    one Pallas kernel (the XLA compile helper OOMs otherwise)."""
+    """Jitted per-bucket describe with the Pallas orientation + descriptor
+    kernels — dispatched separately per bucket so no single program carries
+    many Pallas kernels (the XLA compile helper OOMs otherwise)."""
     return _describe_bucket(kps, grads, params, b, bcap, w_o, w_d,
-                            pixel_width, orientation_kernel=True)
+                            pixel_width, tpu_kernels=True)
 
 
 @partial(jax.jit, static_argnames=("params", "b", "bcap", "w_o", "w_d",
@@ -328,7 +330,7 @@ def _sift_tpu_agg(pixels, image_id, params: SIFTParams,
         for b in _describe_buckets(params):
             bcap = _bucket_capacity(params, o, b, height, width)
             w_o, w_d = _bucket_windows(params, int(b))
-            if patches_supported(ph, pw, w_o):
+            if patches_supported(ph, pw, w_d):  # w_d > w_o: implies both
                 outs.append(_describe_bucket_kernel(
                     kps, grads, params, int(b), bcap, w_o, w_d, pixel_width))
             else:

@@ -78,3 +78,31 @@ def test_atan2_polynomial_accuracy():
     ref = np.arctan2(np.asarray(y), np.asarray(x))
     err = np.abs(got - ref)
     assert err.max() < 1e-6, err.max()  # << the 10-degree bin width
+
+
+def test_descriptor_kernel_bit_exact_vs_gather():
+    """The fused Pallas descriptor kernel (interpret mode) must reproduce
+    the gather path's descriptors bit-exactly: the in-VMEM row-sweep samples
+    the identical rotated coordinates."""
+    from ssrlcv_tpu.config import SIFTParams
+    from ssrlcv_tpu.features.descriptor import fill_descriptors
+    from ssrlcv_tpu.features.detector import SSKeyPoints
+
+    rng = np.random.default_rng(7)
+    params = SIFTParams()
+    h, w = 320, 384
+    grads = jnp.asarray(rng.standard_normal((3, h, w, 2)).astype(np.float32))
+    k, w_max = 24, 12
+    kps = SSKeyPoints(
+        blur=jnp.ones((k,), jnp.int32),
+        loc=jnp.asarray(rng.uniform(w_max + 4, 300, (k, 2)).astype(np.float32)),
+        intensity=jnp.zeros((k,), jnp.float32),
+        sigma=jnp.asarray(rng.uniform(1.0, 2.0, (k,)).astype(np.float32)),
+        theta=jnp.asarray(rng.uniform(0, 2 * np.pi, (k,)).astype(np.float32)),
+        mask=jnp.ones((k,), bool),
+    )
+    d_ref, loc_ref = fill_descriptors(grads, kps, 1.0, params, w_max=w_max)
+    d_ker, loc_ker = fill_descriptors(
+        grads[1], kps, 1.0, params, w_max=w_max, use_kernel=True)
+    np.testing.assert_array_equal(np.asarray(d_ref), np.asarray(d_ker))
+    np.testing.assert_array_equal(np.asarray(loc_ref), np.asarray(loc_ker))
