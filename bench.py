@@ -50,22 +50,27 @@ def run_once(fx, cams, seed_features, stage_s=None):
             stage_s[name] = stage_s.get(name, 0.0) + (time.perf_counter() - t0)
         return time.perf_counter()
 
+    def sync(x):
+        # real host fetch: block_until_ready does not wait on the tunneled
+        # axon backend, so stage boundaries must be a device->host read
+        np.asarray(x[(0,) * x.ndim])
+
     t = time.perf_counter()
     f0 = generate_features(fx["images"][0].pixels, image_id=0)
-    jax.block_until_ready(f0.descriptors)
+    sync(f0.descriptors)
     t = tick("sift0", t)
     f1 = generate_features(fx["images"][1].pixels, image_id=1)
-    jax.block_until_ready(f1.descriptors)
+    sync(f1.descriptors)
     t = tick("sift1", t)
     sd = M.seed_distances(f0, seed_features)
     params = MatchParams(epsilon=25.0, delta=5.0)
     dm = M.match_double_constrained(f0, f1, cams, 0, 1, params, seed_dist=sd)
     ms = M.matches_to_matchset(dm, f0, f1, 0, 1)
-    jax.block_until_ready(ms.kp_loc)
+    sync(ms.kp_loc)
     t = tick("match", t)
     ms = F.linear_cutoff_filter(ms, cams, 100.0)
     ms = F.deterministic_statistical_filter(ms, cams, 3.0, 10)
-    jax.block_until_ready(ms.kp_loc)
+    sync(ms.kp_loc)
     t = tick("filter", t)
     r = bundle_adjust_two_view(ms, cams, iterations=10, mode="lm")
     pts = np.asarray(r.cloud.points)
@@ -75,13 +80,22 @@ def run_once(fx, cams, seed_features, stage_s=None):
     return n, float(r.final_error), (f0, f1, sd, params, ms)
 
 
-def _min_of(fn, reps=3):
+def _fetch(x):
+    """Synchronize via an actual host fetch of one element of the result:
+    jax.block_until_ready does NOT wait on the tunneled axon backend, so
+    timing must be bounded by a real device->host read."""
     import jax
+    import numpy as np
 
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return np.asarray(leaf[(0,) * leaf.ndim])
+
+
+def _min_of(fn, reps=3):
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        _fetch(fn())
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -172,6 +186,9 @@ def main():
         "e2e_seconds": round(elapsed, 2),
         "points": n_points,
         "ba_final_error": round(final_err, 6),
+        # error/point is comparable across rounds even when the match count
+        # changes (total linear error scales with match count — VERDICT r3 #7)
+        "ba_error_per_point": round(final_err / max(n_points, 1), 9),
         "cloud_vs_golden_m": cloud_m,
         "mfu_match": mfu_match,
         "stages": {k: round(v, 3) for k, v in stage_s.items()},

@@ -36,7 +36,8 @@ class Cameras:
     dpix: jax.Array         # (N, 2) float32
     size: jax.Array         # (N, 2) int32  (width, height)
     ecef_offset: jax.Array  # (N, 3) float32, km
-    timestamp: jax.Array    # (N,)  int64
+    timestamp: jax.Array    # (N,) int64 under jax_enable_x64, else int32
+                            # (the reference's Camera::timeStamp, Image.cuh:47)
 
     @property
     def num_cameras(self) -> int:

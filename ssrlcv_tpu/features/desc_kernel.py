@@ -106,7 +106,10 @@ def _desc_kernel(spa, t_tiles, y0_ref, x0_ref, lx_ref, ly_ref, ct_ref, st_ref,
 
         ct = ct_ref[idx]
         st = st_ref[idx]
-        w = win_ref[idx]
+        # padded/masked keypoints carry win=0: clamp so 1/binw and the
+        # Gaussian exponent stay finite (their outputs are masked downstream,
+        # but NaN->uint8 casts in the epilogue would be implementation-defined)
+        w = jnp.maximum(win_ref[idx], jnp.float32(1.0))
         lx = lx_ref[idx]
         ly = ly_ref[idx]
         x0 = x0_ref[idx]

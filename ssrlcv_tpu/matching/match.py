@@ -304,6 +304,36 @@ def get_raw_matches(dm: DMatches, query: FeatureSet, target: FeatureSet,
     return loc, parent, dm.valid
 
 
+class FeatureMatches(NamedTuple):
+    """Descriptor-carrying matches — the reference's FeatureMatch<T>
+    (MatchFactory.cuh:69-72: DMatch + ``T descriptors[2]``), struct-of-arrays.
+    Works for any descriptor family (SIFT uint8[128], Window_NxN), like the
+    reference's template instantiations (MatchFactory.cu:7-12)."""
+
+    loc: jax.Array          # (Nq, 2, 2) float32 — [query kp, target kp]
+    parent: jax.Array       # (Nq, 2) int32 image ids
+    descriptors: jax.Array  # (Nq, 2, D) — [query desc, target desc]
+    distance: jax.Array     # (Nq,) float32
+    valid: jax.Array        # (Nq,) bool
+
+
+def get_feature_matches(dm: DMatches, query: FeatureSet, target: FeatureSet,
+                        query_id: int, target_id: int) -> FeatureMatches:
+    """DMatches -> descriptor-carrying FeatureMatch<T> form (the
+    matchFeatures* FeatureMatch kernel outputs, MatchFactory.cuh:377-410) in
+    query order; invalid slots keep their best-candidate payload like the
+    reference kernels and are dropped by validate_matches-style compaction
+    downstream."""
+    tgt = jnp.clip(dm.target_idx, 0, target.capacity - 1)
+    loc = jnp.stack([query.loc, target.loc[tgt]], axis=1)
+    desc = jnp.stack([query.descriptors, target.descriptors[tgt]], axis=1)
+    parent = jnp.broadcast_to(
+        jnp.asarray([query_id, target_id], jnp.int32), (dm.valid.shape[0], 2)
+    )
+    return FeatureMatches(loc=loc, parent=parent, descriptors=desc,
+                          distance=dm.distance, valid=dm.valid)
+
+
 def matches_to_matchset(
     dm: DMatches,
     query: FeatureSet,

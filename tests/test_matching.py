@@ -98,6 +98,35 @@ def test_matchset_assembly():
     np.testing.assert_array_equal(np.asarray(ms.kp_parent)[0], [0, 1])
 
 
+def test_feature_matches_carry_descriptors():
+    """FeatureMatch<T> output (MatchFactory.cuh:69-72): the match carries
+    BOTH descriptors alongside the keypoint pair."""
+    from ssrlcv_tpu.core.types import FeatureSet
+    from ssrlcv_tpu.matching.match import DMatches, get_feature_matches
+
+    rng = np.random.default_rng(3)
+    qd = rng.integers(0, 256, (4, 128)).astype(np.uint8)
+    td = rng.integers(0, 256, (4, 128)).astype(np.uint8)
+    q = FeatureSet.empty(4, parent=0).replace(
+        loc=jnp.arange(8, dtype=jnp.float32).reshape(4, 2),
+        descriptors=jnp.asarray(qd), mask=jnp.ones(4, bool))
+    t = FeatureSet.empty(4, parent=1).replace(
+        loc=100 + jnp.arange(8, dtype=jnp.float32).reshape(4, 2),
+        descriptors=jnp.asarray(td), mask=jnp.ones(4, bool))
+    dm = DMatches(
+        target_idx=jnp.array([2, 0, 1, 3], jnp.int32),
+        distance=jnp.array([5.0, 1.0, 2.0, 3.0]),
+        valid=jnp.array([True, False, True, True]),
+    )
+    fm = get_feature_matches(dm, q, t, 0, 1)
+    assert fm.descriptors.shape == (4, 2, 128)
+    np.testing.assert_array_equal(np.asarray(fm.descriptors[:, 0]), qd)
+    np.testing.assert_array_equal(np.asarray(fm.descriptors[0, 1]), td[2])
+    np.testing.assert_array_equal(np.asarray(fm.loc[0, 1]), [104, 105])
+    np.testing.assert_array_equal(np.asarray(fm.parent[0]), [0, 1])
+    np.testing.assert_array_equal(np.asarray(fm.valid), np.asarray(dm.valid))
+
+
 @pytest.mark.slow
 def test_end_to_end_match_triangulate(fixture_2view, cameras_2view):
     """Full SIFT -> seeded match -> triangulate on the fixture pair: the

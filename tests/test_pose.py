@@ -31,7 +31,7 @@ def _synthetic_two_view(n=200, seed=0, rot_noise=0.0):
         dpix=jnp.full((2, 2), dpix),
         size=jnp.asarray(np.stack([size, size])),
         ecef_offset=jnp.zeros((2, 3)),
-        timestamp=jnp.zeros((2,), jnp.int64),
+        timestamp=jnp.zeros((2,), jnp.int32),
     )
 
     # world points: sample pixels in image 0, push along the ray
