@@ -29,6 +29,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -184,57 +185,72 @@ def sharded_match_brute_force(
     return _threshold(idx[:nq], dist[:nq], query.mask, params, seed_dist)
 
 
-def sharded_generate_features(mesh: Mesh, pixels, image_ids, sift_params):
+def sharded_generate_features(mesh: Mesh, pixels, image_ids, sift_params,
+                              tpu_kernels: Optional[bool] = None):
     """Image-parallel SIFT over every device of the mesh.
 
-    Feature generation is ~95% of pipeline wall clock and each image is
-    independent, so the distributed design is pure data parallelism: images
-    are sharded one-per-device over the FLATTENED (data, feat) mesh and each
-    device runs the whole fused SIFT program (_sift_fused_agg) on its local
-    images — the TPU equivalent of the reference's only scaling story,
-    independent per-image Slurm jobs (/root/reference/scripts/sub-run-sfm-2.sh),
-    but inside one SPMD program with zero collectives.
+    Feature generation dominates pipeline wall clock and each image is
+    independent, so the distributed design is pure data parallelism over the
+    FLATTENED (data, feat) mesh — the TPU equivalent of the reference's only
+    scaling story, independent per-image Slurm jobs
+    (/root/reference/scripts/sub-run-sfm-2.sh).  Zero collectives are
+    needed, so instead of shard_map (whose single-program constraint would
+    force the slow gather-path SIFT — embedding the ~24 Pallas kernels of
+    the full front end in one program OOM-kills the XLA compile helper) each
+    image is explicitly committed to its device with ``jax.device_put`` and
+    runs the SAME per-image program as ``generate_features`` — the Pallas
+    kernel path on TPU, the fused gather path on CPU.  Dispatch is async, so
+    all devices make progress concurrently; results are stitched into global
+    mesh-sharded arrays so downstream sharded stages consume them in place.
 
     pixels: (N, H, W) uint8 grayscale stack; image_ids: (N,) int32.
     Returns (features: list[FeatureSet] length N, sat (N, buckets) bool,
-    overflow (N,) bool) — identical per-image results to generate_features.
+    overflow (N,) bool) — per-image results identical to generate_features
+    on the same platform (same program, same device kind).
     """
-    from ssrlcv_tpu.features.sift import _sift_fused_agg
+    from ssrlcv_tpu.features.sift import _sift_fused_agg, _sift_tpu_agg
 
-    n = pixels.shape[0]
+    devices = list(mesh.devices.reshape(-1))
+    nd = len(devices)
+    n = int(pixels.shape[0])
     h, w = int(pixels.shape[1]), int(pixels.shape[2])
-    nd = mesh.size
+    if tpu_kernels is None:
+        tpu_kernels = devices[0].platform not in ("cpu",)
+    ids = [int(i) for i in np.asarray(image_ids)]
     n_pad = ((n + nd - 1) // nd) * nd
-    ids = jnp.asarray(image_ids, jnp.int32)
-    if n_pad != n:
-        pixels = jnp.concatenate(
-            [pixels, jnp.broadcast_to(pixels[:1], (n_pad - n,) + pixels.shape[1:])]
-        )
-        ids = jnp.concatenate([ids, jnp.full((n_pad - n,), -1, jnp.int32)])
     local_n = n_pad // nd
 
-    spec = P((DATA_AXIS, FEAT_AXIS))
+    # blocked assignment (device d owns images [d*local_n, (d+1)*local_n))
+    # to match the global P((data, feat)) layout below; padding slots re-run
+    # image 0 (pure device time on otherwise-idle devices — cheaper over the
+    # tunnel than uploading placeholder arrays) with id -1
+    outs = []
+    for i in range(n_pad):
+        src = i if i < n else 0
+        iid = ids[src] if i < n else -1
+        px = jax.device_put(pixels[src], devices[i // local_n])
+        if tpu_kernels:
+            outs.append(_sift_tpu_agg(px, iid, sift_params, h, w))
+        else:
+            outs.append(_sift_fused_agg(px, jnp.int32(iid), sift_params, h, w))
 
-    def kernel(px_local, ids_local):
-        # NOTE: uses the gather-path fused program — the Pallas patch driver
-        # is a multi-dispatch host loop and cannot live inside shard_map
-        outs = [
-            _sift_fused_agg(px_local[i], ids_local[i], sift_params, h, w)
-            for i in range(local_n)
-        ]
-        fs = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[o[0] for o in outs])
-        sat = jnp.stack([o[1] for o in outs])
-        ovf = jnp.stack([o[2] for o in outs])
-        return fs, sat, ovf
+    # stitch per-device stacks into ONE global mesh-sharded pytree: the
+    # leading (image) axis is sharded over the flattened mesh, exactly the
+    # layout the old shard_map version produced
+    sharding = NamedSharding(mesh, P((DATA_AXIS, FEAT_AXIS)))
 
-    fs, sat, ovf = jax.jit(
-        shard_map(
-            kernel,
-            mesh=mesh,
-            in_specs=(spec, spec),
-            out_specs=(spec, spec, spec),
-        )
-    )(pixels, ids)
+    def stack_local(d, leaves):
+        xs = leaves[d * local_n : (d + 1) * local_n]
+        return jnp.stack(xs)  # runs on (and stays committed to) device d
+
+    def to_global(leaves):
+        shards = [stack_local(d, leaves) for d in range(nd)]
+        shape = (n_pad,) + shards[0].shape[1:]
+        return jax.make_array_from_single_device_arrays(shape, sharding, shards)
+
+    fs = jax.tree_util.tree_map(lambda *xs: to_global(list(xs)), *[o[0] for o in outs])
+    sat = to_global([o[1] for o in outs])
+    ovf = to_global([o[2] for o in outs])
     feats = [jax.tree_util.tree_map(lambda x: x[i], fs) for i in range(n)]
     return feats, sat[:n], ovf[:n]
 
