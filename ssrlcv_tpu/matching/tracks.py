@@ -26,6 +26,22 @@ from ssrlcv_tpu.config import MatchParams
 from ssrlcv_tpu.core.types import Cameras, FeatureSet, MatchSet
 
 
+def overlap_pairs(n: int, ordered: bool, estimated_overlap: float) -> list[tuple[int, int]]:
+    """The (i < j) pair list with the reference's linear-sequence pair skip
+    (generateMatchesExhaustive, MatchFactory.cu:908-936) — for ordered
+    captures only pairs close enough in the sequence to overlap are matched:
+    pair (i, j) is kept while (j - i) * (1 - overlap) <= 1.  (The
+    reference's counter `++i*(1-estimatedOverlap) > 1.0f` expresses the same
+    intent through a loop-local counter; the semantic form is used here.)"""
+    return [
+        (i, j)
+        for i in range(n - 1)
+        for j in range(i + 1, n)
+        if not (ordered and estimated_overlap > 0.0
+                and (j - i) * (1.0 - estimated_overlap) > 1.0)
+    ]
+
+
 def pairwise_index_matches(
     features: list[FeatureSet],
     cameras: Cameras,
@@ -33,46 +49,48 @@ def pairwise_index_matches(
     seed_features: Optional[FeatureSet] = None,
     ordered: bool = False,
     estimated_overlap: float = 0.0,
+    mesh=None,
 ) -> dict[tuple[int, int], np.ndarray]:
-    """Best-match index pairs for every (i < j) image pair
+    """Best-match index pairs for every surviving (i < j) image pair
     (generateMatchesDoubleConstrainedIndexOnly per pair).
     Returns {(i, j): (n, 2) array of (query_feature, target_feature)}.
 
-    ``ordered`` + ``estimated_overlap``: the reference's linear-sequence
-    pair skip (generateMatchesExhaustive, MatchFactory.cu:908-936) — for
-    ordered captures only pairs close enough in the sequence to overlap are
-    matched: pair (i, j) is kept while (j - i) * (1 - overlap) <= 1.  (The
-    reference's counter `++i*(1-estimatedOverlap) > 1.0f` expresses the same
-    intent through a loop-local counter; the semantic form is used here.)
+    ``mesh``: optional jax Mesh — the pair sweep is then dealt round-robin
+    over the mesh devices (parallel.sharded.sharded_pairwise_index_matches)
+    with identical per-pair results.
     """
     from ssrlcv_tpu.matching import match as M
 
     n = len(features)
+    pairs = overlap_pairs(n, ordered, estimated_overlap)
+    if mesh is not None:
+        from ssrlcv_tpu.parallel.sharded import sharded_pairwise_index_matches
+
+        return sharded_pairwise_index_matches(
+            mesh, features, cameras, params, seed_features, pairs=pairs)
+
     out = {}
-    for i in range(n - 1):
-        sd = (
-            M.seed_distances(features[i], seed_features)
-            if seed_features is not None
-            else None
-        )
-        for j in range(i + 1, n):
-            if ordered and estimated_overlap > 0.0 and (j - i) * (1.0 - estimated_overlap) > 1.0:
-                continue
-            # index_only=True: the reference's exhaustive pairing goes through
-            # the IndexOnly kernel family whose relative-seed threshold is
-            # UNSQUARED (MatchFactory.cu:2907 vs the DMatch kernels' :2278)
-            if params.mode == "double":
-                dm = M.match_double_constrained(
-                    features[i], features[j], cameras, i, j, params,
-                    seed_dist=sd, index_only=True,
-                )
-            else:
-                dm = M.match_brute_force(
-                    features[i], features[j], params, seed_dist=sd, index_only=True)
-            valid = np.asarray(dm.valid)
-            qf = np.nonzero(valid)[0]
-            tf = np.asarray(dm.target_idx)[qf]
-            out[(i, j)] = np.stack([qf, tf], axis=1).astype(np.int64)
+    sd = None
+    sd_img = -1
+    for i, j in pairs:
+        if seed_features is not None and sd_img != i:
+            sd = M.seed_distances(features[i], seed_features)
+            sd_img = i
+        # index_only=True: the reference's exhaustive pairing goes through
+        # the IndexOnly kernel family whose relative-seed threshold is
+        # UNSQUARED (MatchFactory.cu:2907 vs the DMatch kernels' :2278)
+        if params.mode == "double":
+            dm = M.match_double_constrained(
+                features[i], features[j], cameras, i, j, params,
+                seed_dist=sd, index_only=True,
+            )
+        else:
+            dm = M.match_brute_force(
+                features[i], features[j], params, seed_dist=sd, index_only=True)
+        valid = np.asarray(dm.valid)
+        qf = np.nonzero(valid)[0]
+        tf = np.asarray(dm.target_idx)[qf]
+        out[(i, j)] = np.stack([qf, tf], axis=1).astype(np.int64)
     return out
 
 
@@ -158,13 +176,15 @@ def generate_matches_exhaustive(
     seed_features: Optional[FeatureSet] = None,
     ordered: bool = False,
     estimated_overlap: float = 0.0,
+    mesh=None,
 ) -> MatchSet:
     """Full N-view matching -> padded MatchSet (generateMatchesExhaustive,
     MatchFactory.cu:908-1028; the overlap pair skip is honoured for
-    ordered linear captures)."""
+    ordered linear captures).  ``mesh``: distribute the pair sweep over the
+    mesh devices."""
     pair_matches = pairwise_index_matches(
         features, cameras, params, seed_features,
-        ordered=ordered, estimated_overlap=estimated_overlap,
+        ordered=ordered, estimated_overlap=estimated_overlap, mesh=mesh,
     )
     counts = [f.capacity for f in features]
     tracks = build_tracks(pair_matches, len(features), counts)

@@ -157,8 +157,12 @@ def do_feature_matching(state: PipelineState) -> PipelineState:
             dm = M.match_brute_force(state.features[0], state.features[1], cfg, seed_dist=sd)
         state.matches = M.matches_to_matchset(dm, state.features[0], state.features[1], 0, 1)
     else:
+        # N-view: the O(N^2) pair sweep distributes over the mesh when one
+        # is present (each device matches its pair subset; track building
+        # stays host-side as in the reference)
         state.matches = generate_matches_exhaustive(
-            state.features, state.cameras, cfg, seed_features=state.seed_features
+            state.features, state.cameras, cfg,
+            seed_features=state.seed_features, mesh=state.mesh,
         )
     logger.info(f"total matches: {int(state.matches.count())}")
     logger.log_state("MATCHING")

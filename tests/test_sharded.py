@@ -203,6 +203,37 @@ def test_pipeline_runs_sharded_stages(fixture_2view, matchset_2view, cameras_2vi
     assert state.ba_error is not None
 
 
+def test_sharded_pairwise_index_matches_10_image_strip(mesh24, cameras_2view):
+    """The N-view pair sweep distributed over the 8-device mesh: all 45
+    pairs of a 10-image synthetic strip, per-pair results identical to the
+    serial path (VERDICT r3 #4)."""
+    import jax.tree_util as jtu
+
+    from ssrlcv_tpu.config import MatchParams
+    from ssrlcv_tpu.core.types import Cameras
+    from ssrlcv_tpu.matching.tracks import pairwise_index_matches
+
+    rng = np.random.default_rng(7)
+    n_img = 10
+    feats = [_random_featureset(rng, 256, i) for i in range(n_img)]
+    seed = _random_featureset(rng, 128, -1)
+    # a 10-camera strip: jittered copies of the fixture pair's geometry
+    reps = (n_img + 1) // 2
+    cams = jtu.tree_map(lambda x: jnp.concatenate([x] * reps)[:n_img], cameras_2view)
+    cams = cams.replace(
+        cam_pos=cams.cam_pos + jnp.asarray(rng.normal(0, 0.5, (n_img, 3)).astype(np.float32)))
+
+    for params in (MatchParams(mode="brute"),
+                   MatchParams(mode="double", epsilon=200.0, delta=5.0)):
+        ref = pairwise_index_matches(feats, cams, params, seed_features=seed)
+        got = pairwise_index_matches(feats, cams, params, seed_features=seed,
+                                     mesh=mesh24)
+        assert set(ref.keys()) == set(got.keys())
+        assert len(ref) == n_img * (n_img - 1) // 2
+        for k in ref:
+            np.testing.assert_array_equal(got[k], ref[k])
+
+
 def test_sharded_generate_features_matches_single(mesh81):
     """Image-parallel SIFT on the mesh must reproduce generate_features
     (fused) exactly per image — same program, one image per device, with a
