@@ -61,12 +61,20 @@ def detect_extrema(
     from overflowing the list.
     """
     b, h, w = dog_raw.shape
-    nmax = jax.lax.reduce_window(
-        dog_raw, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "VALID"
-    )  # (B-2, H-2, W-2)
-    nmin = jax.lax.reduce_window(
-        dog_raw, jnp.inf, jax.lax.min, (3, 3, 3), (1, 1, 1), "VALID"
-    )
+    # separable shifted max/min: the 27-point window is the composition of
+    # three 3-wide axis reductions (exact — max/min are associative), and the
+    # shifted-slice formulation is ~3x faster than the monolithic 3-D
+    # reduce_window on TPU (same trick as the shifted-add convolutions)
+    def _axis3(op, a, axis):
+        n = a.shape[axis]
+        sl = lambda s, e: jax.lax.slice_in_dim(a, s, e, axis=axis)
+        return op(sl(0, n - 2), op(sl(1, n - 1), sl(2, n)))
+
+    def _win3(op, a):
+        return _axis3(op, _axis3(op, _axis3(op, a, 2), 1), 0)
+
+    nmax = _win3(jnp.maximum, dog_raw)  # (B-2, H-2, W-2)
+    nmin = _win3(jnp.minimum, dog_raw)
     mid = dog_raw[1 : b - 1, 1 : h - 1, 1 : w - 1]
     is_ext = (mid == nmax) | (mid == nmin)
     if prefilter_threshold > 0.0:
@@ -106,39 +114,59 @@ def remove_noise(kps: SSKeyPoints, threshold: float) -> SSKeyPoints:
     return kps._replace(mask=keep)
 
 
-def _gather_patch3(dog: jax.Array, blur, y, x):
-    """Batched 3x3x3 patches centred at (blur, y, x) arrays of shape (K,).
+def _dense_newton_fields(dog_norm: jax.Array):
+    """Per-position Newton refinement quantities for every interior position
+    (blur 1..B-2, y/x 1..dim-2), computed densely from shifted slices — NO
+    gather.  The Newton step at an integer position depends only on its 27
+    neighbours, so it is a position property: materialising (o0, o1, o2,
+    gHg) fields once turns each refinement attempt's 27-point gather into a
+    4-value gather (~7x less gather traffic — the op class TPU is worst at).
+    Same arithmetic as refineLocation (FeatureFactory.cu:892-967), including
+    the non-standard diagonal Hessian.
 
-    One XLA gather for all keypoints (the vmapped-dynamic_slice formulation
-    lowers to a slow per-element loop on TPU).  Returns (K, 3, 3, 3).
+    Returns (o0, o1, o2, gHg), each (B-2, H-2, W-2) f32.
     """
-    nb, h, w = dog.shape
-    db = jnp.arange(-1, 2)
-    bi = jnp.clip(blur[:, None, None, None] + db[None, :, None, None], 0, nb - 1)
-    yi = jnp.clip(y[:, None, None, None] + db[None, None, :, None], 0, h - 1)
-    xi = jnp.clip(x[:, None, None, None] + db[None, None, None, :], 0, w - 1)
-    return dog[bi, yi, xi]
+    mid = dog_norm[1:-1]
+    up = dog_norm[2:]
+    lo = dog_norm[:-2]
+    h, w = dog_norm.shape[1], dog_norm.shape[2]
 
+    def s(a, dy, dx):  # interior view of a shifted by (dy, dx)
+        return a[:, 1 + dy : h - 1 + dy, 1 + dx : w - 1 + dx]
 
-def _inv3(m: jax.Array) -> jax.Array:
-    """Adjugate 3x3 inverse (matrix_util inverse); singular -> inf entries,
-    which fail the |offset|<=0.5 acceptance just like the reference's
-    garbage output would."""
-    det = jnp.linalg.det(m)
-    adj = jnp.stack(
-        [
-            jnp.stack([m[1, 1] * m[2, 2] - m[1, 2] * m[2, 1],
-                       m[0, 2] * m[2, 1] - m[0, 1] * m[2, 2],
-                       m[0, 1] * m[1, 2] - m[0, 2] * m[1, 1]]),
-            jnp.stack([m[1, 2] * m[2, 0] - m[1, 0] * m[2, 2],
-                       m[0, 0] * m[2, 2] - m[0, 2] * m[2, 0],
-                       m[0, 2] * m[1, 0] - m[0, 0] * m[1, 2]]),
-            jnp.stack([m[1, 0] * m[2, 1] - m[1, 1] * m[2, 0],
-                       m[0, 1] * m[2, 0] - m[0, 0] * m[2, 1],
-                       m[0, 0] * m[1, 1] - m[0, 1] * m[1, 0]]),
-        ]
+    m = s(mid, 0, 0)
+    g0 = s(mid, 0, 1) - s(mid, 0, -1)
+    g1 = s(mid, 1, 0) - s(mid, -1, 0)
+    g2 = s(up, 0, 0) - s(lo, 0, 0)
+    h00 = -(g0 - 2.0 * m)
+    h11 = -(g1 - 2.0 * m)
+    h22 = -(g2 - 2.0 * m)
+    h01 = -((s(mid, 1, 1) - s(mid, -1, 1) - s(mid, 1, -1) + s(mid, -1, -1)) / 4.0)
+    h02 = -((s(up, 0, 1) - s(lo, 0, 1) - s(up, 0, -1) + s(lo, 0, -1)) / 4.0)
+    h12 = -((s(up, 1, 0) - s(lo, 1, 0) - s(up, -1, 0) + s(lo, -1, 0)) / 4.0)
+
+    # closed-form 3x3 symmetric inverse applied to g (adjugate / det)
+    det = (
+        h00 * (h11 * h22 - h12 * h12)
+        - h01 * (h01 * h22 - h12 * h02)
+        + h02 * (h01 * h12 - h11 * h02)
     )
-    return adj / det
+    inv_det = jnp.where(jnp.abs(det) > 0, 1.0 / det, jnp.inf)
+    a00 = h11 * h22 - h12 * h12
+    a01 = h02 * h12 - h01 * h22
+    a02 = h01 * h12 - h02 * h11
+    a11 = h00 * h22 - h02 * h02
+    a12 = h01 * h02 - h00 * h12
+    a22 = h00 * h11 - h01 * h01
+    o0 = (a00 * g0 + a01 * g1 + a02 * g2) * inv_det
+    o1 = (a01 * g0 + a11 * g1 + a12 * g2) * inv_det
+    o2 = (a02 * g0 + a12 * g1 + a22 * g2) * inv_det
+    gHg = (
+        g0 * (h00 * g0 + h01 * g1 + h02 * g2)
+        + g1 * (h01 * g0 + h11 * g1 + h12 * g2)
+        + g2 * (h02 * g0 + h12 * g1 + h22 * g2)
+    )
+    return o0, o1, o2, gHg
 
 
 def refine_keypoints(
@@ -150,10 +178,19 @@ def refine_keypoints(
 ) -> SSKeyPoints:
     """Iterative 3-D quadratic subpixel refinement over the *normalised* DoG
     (refineLocation kernel, FeatureFactory.cu:892-967), fully vectorised over
-    the keypoint capacity: each Newton attempt is one batched 27-point
-    gather + closed-form 3x3 solves (no per-keypoint dynamic slices)."""
+    the keypoint capacity.  The per-position Newton quantities come from the
+    dense fields of _dense_newton_fields; each attempt then gathers only 4
+    field values (+1 intensity on accept) per keypoint instead of a 27-point
+    patch."""
     nblurs, h, w = dog_norm.shape
     k = kps.capacity
+
+    f_o0, f_o1, f_o2, f_gHg = _dense_newton_fields(dog_norm)
+    hw = (h - 2) * (w - 2)
+    f_o0 = f_o0.reshape(-1)
+    f_o1 = f_o1.reshape(-1)
+    f_o2 = f_o2.reshape(-1)
+    f_gHg = f_gHg.reshape(-1)
 
     x0 = jnp.round(kps.loc[:, 0]).astype(jnp.int32)
     y0 = jnp.round(kps.loc[:, 1]).astype(jnp.int32)
@@ -164,41 +201,14 @@ def refine_keypoints(
 
     def body(_, st):
         x, y, blur, loc_f, sigma, inten, discard, done = st
-        p = _gather_patch3(dog_norm, blur, y, x)  # (K, 3, 3, 3): [blur, y, x]
-        L, M, U = p[:, 0], p[:, 1], p[:, 2]       # each (K, 3, 3) [y, x]
-        g0 = M[:, 1, 2] - M[:, 1, 0]
-        g1 = M[:, 2, 1] - M[:, 0, 1]
-        g2 = U[:, 1, 1] - L[:, 1, 1]
-        m = M[:, 1, 1]
-        h00 = -(g0 - 2.0 * m)
-        h11 = -(g1 - 2.0 * m)
-        h22 = -(g2 - 2.0 * m)
-        h01 = -((M[:, 2, 2] - M[:, 0, 2] - M[:, 2, 0] + M[:, 0, 0]) / 4.0)
-        h02 = -((U[:, 1, 2] - L[:, 1, 2] - U[:, 1, 0] + L[:, 1, 0]) / 4.0)
-        h12 = -((U[:, 2, 1] - L[:, 2, 1] - U[:, 0, 1] + L[:, 0, 1]) / 4.0)
-
-        # closed-form 3x3 symmetric inverse applied to g (adjugate / det)
-        det = (
-            h00 * (h11 * h22 - h12 * h12)
-            - h01 * (h01 * h22 - h12 * h02)
-            + h02 * (h01 * h12 - h11 * h02)
-        )
-        inv_det = jnp.where(jnp.abs(det) > 0, 1.0 / det, jnp.inf)
-        a00 = h11 * h22 - h12 * h12
-        a01 = h02 * h12 - h01 * h22
-        a02 = h01 * h12 - h02 * h11
-        a11 = h00 * h22 - h02 * h02
-        a12 = h01 * h02 - h00 * h12
-        a22 = h00 * h11 - h01 * h01
-        o0 = (a00 * g0 + a01 * g1 + a02 * g2) * inv_det
-        o1 = (a01 * g0 + a11 * g1 + a12 * g2) * inv_det
-        o2 = (a02 * g0 + a12 * g1 + a22 * g2) * inv_det
-        # temp = g @ H; dot(temp, g) = g^T H g
-        gHg = (
-            g0 * (h00 * g0 + h01 * g1 + h02 * g2)
-            + g1 * (h01 * g0 + h11 * g1 + h12 * g2)
-            + g2 * (h02 * g0 + h12 * g1 + h22 * g2)
-        )
+        # positions at sampling time are always interior (extrema start
+        # interior; the move branch kills border exits before resampling)
+        fi = (blur - 1) * hw + (y - 1) * (w - 2) + (x - 1)
+        fi = jnp.clip(fi, 0, f_o0.shape[0] - 1)
+        o0 = f_o0[fi]
+        o1 = f_o1[fi]
+        o2 = f_o2[fi]
+        gHg = f_gHg[fi]
 
         finite = jnp.isfinite(o0) & jnp.isfinite(o1) & jnp.isfinite(o2)
         accept = finite & (jnp.abs(o0) <= 0.5) & (jnp.abs(o1) <= 0.5) & (jnp.abs(o2) <= 0.5)
@@ -262,21 +272,29 @@ def refine_keypoints(
 
 def remove_edges(kps: SSKeyPoints, dog_norm: jax.Array, threshold: float) -> SSKeyPoints:
     """2x2 Hessian edgeness rejection (flagEdges, FeatureFactory.cu:974-990;
-    note off-diagonal is NOT divided by 4 in the reference — replicated)."""
-    _, h, w = dog_norm.shape
-    x = jnp.clip(jnp.round(kps.loc[:, 0]).astype(jnp.int32), 1, w - 2)
-    y = jnp.clip(jnp.round(kps.loc[:, 1]).astype(jnp.int32), 1, h - 2)
-    d = jnp.arange(-1, 2)
-    yi = y[:, None, None] + d[None, :, None]
-    xi = x[:, None, None] + d[None, None, :]
-    M = dog_norm[kps.blur[:, None, None], yi, xi]  # (K, 3, 3)
-    h00 = -2.0 * M[:, 1, 1] + M[:, 1, 2] + M[:, 1, 0]
-    h11 = -2.0 * M[:, 1, 1] + M[:, 2, 1] + M[:, 0, 1]
-    h01 = M[:, 2, 2] - M[:, 0, 2] - M[:, 2, 0] + M[:, 0, 0]
+    note off-diagonal is NOT divided by 4 in the reference — replicated).
+
+    Edgeness is a position property: computed densely from shifted slices
+    (no 9-point gather), then one field value gathered per keypoint."""
+    nb, h, w = dog_norm.shape
+
+    def s(a, dy, dx):
+        return a[:, 1 + dy : h - 1 + dy, 1 + dx : w - 1 + dx]
+
+    m = s(dog_norm, 0, 0)
+    h00 = -2.0 * m + s(dog_norm, 0, 1) + s(dog_norm, 0, -1)
+    h11 = -2.0 * m + s(dog_norm, 1, 0) + s(dog_norm, -1, 0)
+    h01 = (s(dog_norm, 1, 1) - s(dog_norm, -1, 1)
+           - s(dog_norm, 1, -1) + s(dog_norm, -1, -1))
     tr = h00 + h11
     det = h00 * h11 - h01 * h01
-    edgeness = tr * tr / det
-    keep = kps.mask & ~(edgeness > threshold)
+    edgeness = (tr * tr / det).reshape(-1)  # (B, H-2, W-2) flattened
+
+    x = jnp.clip(jnp.round(kps.loc[:, 0]).astype(jnp.int32), 1, w - 2)
+    y = jnp.clip(jnp.round(kps.loc[:, 1]).astype(jnp.int32), 1, h - 2)
+    hw = (h - 2) * (w - 2)
+    e = edgeness[kps.blur * hw + (y - 1) * (w - 2) + (x - 1)]
+    keep = kps.mask & ~(e > threshold)
     return kps._replace(mask=keep)
 
 
