@@ -58,33 +58,45 @@ def main():
     per_octave = S._sift_detect_all(px, params, h, w)
     jax.block_until_ready(per_octave)
 
+    buckets = list(S._describe_buckets(params))
+    nb = len(buckets)
+    counts = np.asarray(S._bucket_counts(tuple(k for k, _ in per_octave), params))
+
     outs = []
-    total_describe = 0.0
+    total_orient = total_desc = 0.0
     breakdown = []
     for o, (kps, grads) in enumerate(per_octave):
         ph, pw = int(grads.shape[1]), int(grads.shape[2])
         pixel_width = float(2.0 ** (params.starting_octave + o))
-        for b in S._describe_buckets(params):
-            bcap = S._bucket_capacity(params, o, b, h, w)
+        for bi, b in enumerate(buckets):
             w_o, w_d = S._bucket_windows(params, int(b))
-            if patches_supported(ph, pw, w_d):
-                fn = lambda kps=kps, grads=grads, b=b, bcap=bcap, w_o=w_o, \
-                        w_d=w_d, pixel_width=pixel_width: \
-                    S._describe_bucket_kernel(kps, grads, params, int(b),
-                                              bcap, w_o, w_d, pixel_width)
-            else:
-                fn = lambda kps=kps, grads=grads, b=b, bcap=bcap, w_o=w_o, \
-                        w_d=w_d, pixel_width=pixel_width: \
-                    S._describe_bucket_gather(kps, grads, params, int(b),
-                                              bcap, w_o, w_d, pixel_width)
-            dt = t(fn)
-            total_describe += dt
-            n_live = int(jnp.sum((kps.mask & (kps.blur == b)).astype(jnp.int32)))
-            breakdown.append({"octave": o, "blur": b, "bcap": bcap,
-                              "live": n_live, "w_o": w_o, "w_d": w_d,
-                              "s": round(dt, 4)})
-            outs.append(fn())
-    prof["describe_total"] = total_describe
+            if not patches_supported(ph, pw, w_d):
+                bcap = S._bucket_capacity(params, o, b, h, w)
+                outs.append(S._describe_bucket_gather(
+                    kps, grads, params, int(b), bcap, w_o, w_d, pixel_width))
+                continue
+            c = int(counts[o * nb + bi])
+            ocap = S._quantize_cap(c)
+            dto = t(lambda: S._orient_bucket_kernel(
+                kps, grads, params, int(b), ocap, w_o, pixel_width))
+            ori, n_ori = S._orient_bucket_kernel(
+                kps, grads, params, int(b), ocap, w_o, pixel_width)
+            n_ori = int(np.asarray(n_ori))
+            dcap = min(S._quantize_cap(n_ori), 2 * ocap)
+            out_cap = max(dcap, S._bucket_capacity(params, o, b, h, w))
+            dtd = t(lambda: S._desc_bucket_kernel(
+                ori, grads, params, int(b), dcap, w_d, pixel_width, out_cap))
+            outs.append(S._desc_bucket_kernel(
+                ori, grads, params, int(b), dcap, w_d, pixel_width, out_cap))
+            total_orient += dto
+            total_desc += dtd
+            breakdown.append({"octave": o, "blur": b, "live": c,
+                              "ocap": ocap, "n_ori": n_ori, "dcap": dcap,
+                              "w_o": w_o, "w_d": w_d,
+                              "orient_s": round(dto, 4),
+                              "desc_s": round(dtd, 4)})
+    prof["orient_total"] = total_orient
+    prof["desc_total"] = total_desc
 
     outs_t = tuple(outs)
     prof["aggregate"] = t(lambda: S._aggregate_device(outs_t, jnp.int32(0), params))

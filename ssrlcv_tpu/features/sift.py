@@ -252,6 +252,73 @@ def _describe_bucket_kernel(kps, grads, params: SIFTParams, b: int,
                             pixel_width, tpu_kernels=True)
 
 
+def _quantize_cap(n: int, lo: int = 512) -> int:
+    """Quantized keypoint capacity: round up to pow2(n)/8 granularity so
+    count-aware dispatches reuse at most 8 compiled variants per power-of-2
+    bracket (the persistent compile cache amortises them)."""
+    n = max(int(n), 1)
+    if n <= lo:
+        return lo
+    p = 1 << (n - 1).bit_length()
+    gran = max(lo // 2, p // 8)
+    return ((n + gran - 1) // gran) * gran
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _bucket_counts(kps_list, params: SIFTParams):
+    """Per-(octave, bucket) live keypoint counts, stacked into one small
+    array — fetched once so the describe dispatches can be sized to the
+    image's actual keypoint distribution instead of worst-case capacities."""
+    cs = []
+    for kps in kps_list:
+        for b in _describe_buckets(params):
+            cs.append(jnp.sum((kps.mask & (kps.blur == b)).astype(jnp.int32)))
+    return jnp.stack(cs)
+
+
+@jax.jit
+def _stack_i32(xs):
+    return jnp.stack([x.astype(jnp.int32) for x in xs])
+
+
+@partial(jax.jit, static_argnames=("params", "b", "ocap", "w_o", "pixel_width"))
+def _orient_bucket_kernel(kps, grads, params: SIFTParams, b: int, ocap: int,
+                          w_o: int, pixel_width: float):
+    """Count-aware orientation dispatch: compact bucket b's keypoints to the
+    quantized capacity ``ocap`` (>= live count, so nothing drops) and run the
+    fused Pallas orientation kernel.  Returns (oriented (2*ocap slots),
+    n_ori) — n_ori is fetched to size the descriptor dispatch exactly."""
+    kb = _device_compact(kps, ocap, select=kps.blur == b)
+    oriented = compute_orientations(grads[b], kb, pixel_width, params,
+                                    w_max=w_o, use_kernel=True)
+    n_ori = jnp.sum(oriented.mask.astype(jnp.int32))
+    return oriented, n_ori
+
+
+@partial(jax.jit, static_argnames=("params", "b", "dcap", "w_d",
+                                   "pixel_width", "out_cap"))
+def _desc_bucket_kernel(oriented, grads, params: SIFTParams, b: int,
+                        dcap: int, w_d: int, pixel_width: float,
+                        out_cap: int):
+    """Count-aware descriptor dispatch: compact oriented copies to the exact
+    quantized capacity ``dcap`` (>= n_ori) and run the fused Pallas
+    descriptor kernel; outputs are padded back to the static ``out_cap`` so
+    the aggregation program keeps one compiled shape."""
+    od = _device_compact(oriented, dcap)
+    desc, loc_image = fill_descriptors(grads[b], od, pixel_width, params,
+                                       w_max=w_d, use_kernel=True)
+
+    def pad(x, fill=0):
+        if out_cap == dcap:
+            return x
+        cfg = [(0, out_cap - dcap)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfg, constant_values=fill)
+
+    sat = jnp.asarray(False)  # count-aware capacities cannot drop keypoints
+    return (pad(od.blur, 1), pad(loc_image), pad(od.sigma, 1.0),
+            pad(od.theta), pad(desc), pad(od.mask, False), sat)
+
+
 @partial(jax.jit, static_argnames=("params", "b", "bcap", "w_o", "w_d",
                                    "pixel_width"))
 def _describe_bucket_gather(kps, grads, params: SIFTParams, b: int,
@@ -314,28 +381,56 @@ def _sift_fused_agg(pixels, image_id, params: SIFTParams, height: int, width: in
 
 def _sift_tpu_agg(pixels, image_id, params: SIFTParams,
                   height: int, width: int):
-    """SIFT front end with the fused Pallas orientation kernel: one
-    detection dispatch, one describe dispatch per (octave, bucket) — each
-    holding one Pallas kernel — and one aggregation dispatch.  ~15
-    dispatches instead of 1, but every value stays in HBM between them and
-    the orientation histograms never issue a gather.
+    """SIFT front end with the fused Pallas kernels: one detection dispatch,
+    one orientation + one descriptor dispatch per (octave, bucket) — each
+    holding one Pallas kernel — and one aggregation dispatch.  Every value
+    stays in HBM between dispatches, and two tiny count fetches size the
+    orientation/descriptor capacities to the image's ACTUAL keypoint
+    distribution (quantized so compiled variants stay bounded) instead of
+    worst-case static capacities — the kernels then do no padded-slot work
+    and can never saturate/drop keypoints.
     """
     from ssrlcv_tpu.features.patches import patches_supported
 
     per_octave = _sift_detect_all(pixels, params, height, width)
-    outs = []
+    buckets = list(_describe_buckets(params))
+    nb = len(buckets)
+    # ONE small fetch: per-(octave, bucket) live counts
+    counts = np.asarray(_bucket_counts(tuple(k for k, _ in per_octave), params))
+
+    outs = [None] * (len(per_octave) * nb)
+    oriented = {}
     for o, (kps, grads) in enumerate(per_octave):
         ph, pw = int(grads.shape[1]), int(grads.shape[2])
         pixel_width = float(2.0 ** (params.starting_octave + o))
-        for b in _describe_buckets(params):
-            bcap = _bucket_capacity(params, o, b, height, width)
+        for bi, b in enumerate(buckets):
             w_o, w_d = _bucket_windows(params, int(b))
             if patches_supported(ph, pw, w_d):  # w_d > w_o: implies both
-                outs.append(_describe_bucket_kernel(
-                    kps, grads, params, int(b), bcap, w_o, w_d, pixel_width))
+                ocap = _quantize_cap(int(counts[o * nb + bi]))
+                oriented[o * nb + bi] = (ocap, _orient_bucket_kernel(
+                    kps, grads, params, int(b), ocap, w_o, pixel_width))
             else:
-                outs.append(_describe_bucket_gather(
-                    kps, grads, params, int(b), bcap, w_o, w_d, pixel_width))
+                bcap = _bucket_capacity(params, o, b, height, width)
+                outs[o * nb + bi] = _describe_bucket_gather(
+                    kps, grads, params, int(b), bcap, w_o, w_d, pixel_width)
+
+    if oriented:
+        # ONE small fetch: per-bucket oriented-copy counts
+        keys = sorted(oriented.keys())
+        n_oris = np.asarray(_stack_i32(tuple(oriented[k][1][1] for k in keys)))
+        for k, n_ori in zip(keys, n_oris):
+            o, bi = divmod(k, nb)
+            b = buckets[bi]
+            _, grads = per_octave[o]
+            pixel_width = float(2.0 ** (params.starting_octave + o))
+            w_o, w_d = _bucket_windows(params, int(b))
+            ocap, (ori, _) = oriented[k]
+            # n_ori <= 2*ocap (the orientation expansion bound), so the min
+            # keeps dcap both >= n_ori and <= the oriented array's size
+            dcap = min(_quantize_cap(int(n_ori)), 2 * ocap)
+            out_cap = max(dcap, _bucket_capacity(params, o, b, height, width))
+            outs[k] = _desc_bucket_kernel(
+                ori, grads, params, int(b), dcap, w_d, pixel_width, out_cap)
     return _aggregate_device(tuple(outs), jnp.int32(image_id), params)
 
 
