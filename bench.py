@@ -56,12 +56,15 @@ def run_once(fx, cams, seed_features, stage_s=None):
         np.asarray(x[(0,) * x.ndim])
 
     t = time.perf_counter()
-    f0 = generate_features(fx["images"][0].pixels, image_id=0)
+    # both images through the phase-pipelined batch path: one image's count
+    # fetches overlap the other's queued device work (VERDICT r3 #2)
+    from ssrlcv_tpu.features.sift import generate_features_many
+
+    f0, f1 = generate_features_many(
+        [fx["images"][0].pixels, fx["images"][1].pixels], image_ids=[0, 1])
     sync(f0.descriptors)
-    t = tick("sift0", t)
-    f1 = generate_features(fx["images"][1].pixels, image_id=1)
     sync(f1.descriptors)
-    t = tick("sift1", t)
+    t = tick("sift_both", t)
     sd = M.seed_distances(f0, seed_features)
     params = MatchParams(epsilon=25.0, delta=5.0)
     dm = M.match_double_constrained(f0, f1, cams, 0, 1, params, seed_dist=sd)
@@ -113,8 +116,14 @@ def extra_metrics(fx, cams, seed, arts):
 
     f0, f1, sd, params, ms = arts
     dev = {}
+    from ssrlcv_tpu.features.sift import generate_features_many
+
     dev["sift_per_image"] = _min_of(
         lambda: generate_features(fx["images"][0].pixels, image_id=0).descriptors)
+    dev["sift_batch2_per_image"] = _min_of(
+        lambda: generate_features_many(
+            [fx["images"][0].pixels, fx["images"][1].pixels],
+            image_ids=[0, 1])[1].descriptors) / 2.0
     dev["match"] = _min_of(
         lambda: M.match_double_constrained(
             f0, f1, cams, 0, 1, params, seed_dist=sd).target_idx)

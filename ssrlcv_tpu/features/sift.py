@@ -379,25 +379,26 @@ def _sift_fused_agg(pixels, image_id, params: SIFTParams, height: int, width: in
     return _aggregate_device(outs, image_id, params)
 
 
-def _sift_tpu_agg(pixels, image_id, params: SIFTParams,
-                  height: int, width: int):
-    """SIFT front end with the fused Pallas kernels: one detection dispatch,
-    one orientation + one descriptor dispatch per (octave, bucket) — each
-    holding one Pallas kernel — and one aggregation dispatch.  Every value
-    stays in HBM between dispatches, and two tiny count fetches size the
-    orientation/descriptor capacities to the image's ACTUAL keypoint
-    distribution (quantized so compiled variants stay bounded) instead of
-    worst-case static capacities — the kernels then do no padded-slot work
-    and can never saturate/drop keypoints.
-    """
+def _tpu_detect_phase(pixels, params: SIFTParams, height: int, width: int):
+    """Phase 1: one detection program + the tiny bucket-count program.
+    Returns (per_octave, counts_device) — counts stay on device until the
+    caller fetches them (so multi-image pipelines can overlap the fetch with
+    another image's device work)."""
+    per_octave = _sift_detect_all(pixels, params, height, width)
+    counts = _bucket_counts(tuple(k for k, _ in per_octave), params)
+    return per_octave, counts
+
+
+def _tpu_orient_phase(per_octave, counts, params: SIFTParams,
+                      height: int, width: int):
+    """Phase 2: per-(octave, bucket) orientation dispatches at count-aware
+    quantized capacities.  ``counts`` is the FETCHED (host) phase-1 output.
+    Returns (outs, oriented, n_ori_device) where outs carries the finished
+    gather-path buckets and oriented the pending kernel-path ones."""
     from ssrlcv_tpu.features.patches import patches_supported
 
-    per_octave = _sift_detect_all(pixels, params, height, width)
     buckets = list(_describe_buckets(params))
     nb = len(buckets)
-    # ONE small fetch: per-(octave, bucket) live counts
-    counts = np.asarray(_bucket_counts(tuple(k for k, _ in per_octave), params))
-
     outs = [None] * (len(per_octave) * nb)
     oriented = {}
     for o, (kps, grads) in enumerate(per_octave):
@@ -413,25 +414,73 @@ def _sift_tpu_agg(pixels, image_id, params: SIFTParams,
                 bcap = _bucket_capacity(params, o, b, height, width)
                 outs[o * nb + bi] = _describe_bucket_gather(
                     kps, grads, params, int(b), bcap, w_o, w_d, pixel_width)
-
+    n_ori_dev = None
     if oriented:
-        # ONE small fetch: per-bucket oriented-copy counts
         keys = sorted(oriented.keys())
-        n_oris = np.asarray(_stack_i32(tuple(oriented[k][1][1] for k in keys)))
-        for k, n_ori in zip(keys, n_oris):
-            o, bi = divmod(k, nb)
-            b = buckets[bi]
-            _, grads = per_octave[o]
-            pixel_width = float(2.0 ** (params.starting_octave + o))
-            w_o, w_d = _bucket_windows(params, int(b))
-            ocap, (ori, _) = oriented[k]
-            # n_ori <= 2*ocap (the orientation expansion bound), so the min
-            # keeps dcap both >= n_ori and <= the oriented array's size
-            dcap = min(_quantize_cap(int(n_ori)), 2 * ocap)
-            out_cap = max(dcap, _bucket_capacity(params, o, b, height, width))
-            outs[k] = _desc_bucket_kernel(
-                ori, grads, params, int(b), dcap, w_d, pixel_width, out_cap)
+        n_ori_dev = _stack_i32(tuple(oriented[k][1][1] for k in keys))
+    return outs, oriented, n_ori_dev
+
+
+def _tpu_desc_phase(per_octave, outs, oriented, n_oris, image_id,
+                    params: SIFTParams, height: int, width: int):
+    """Phase 3: descriptor dispatches at exactly-sized capacities (from the
+    FETCHED phase-2 ``n_oris``) + the aggregation program."""
+    buckets = list(_describe_buckets(params))
+    nb = len(buckets)
+    for k, n_ori in zip(sorted(oriented.keys()), n_oris if n_oris is not None else []):
+        o, bi = divmod(k, nb)
+        b = buckets[bi]
+        _, grads = per_octave[o]
+        pixel_width = float(2.0 ** (params.starting_octave + o))
+        w_o, w_d = _bucket_windows(params, int(b))
+        ocap, (ori, _) = oriented[k]
+        # n_ori <= 2*ocap (the orientation expansion bound), so the min
+        # keeps dcap both >= n_ori and <= the oriented array's size
+        dcap = min(_quantize_cap(int(n_ori)), 2 * ocap)
+        out_cap = max(dcap, _bucket_capacity(params, o, b, height, width))
+        outs[k] = _desc_bucket_kernel(
+            ori, grads, params, int(b), dcap, w_d, pixel_width, out_cap)
     return _aggregate_device(tuple(outs), jnp.int32(image_id), params)
+
+
+def _sift_tpu_agg(pixels, image_id, params: SIFTParams,
+                  height: int, width: int):
+    """SIFT front end with the fused Pallas kernels: one detection dispatch,
+    one orientation + one descriptor dispatch per (octave, bucket) — each
+    holding one Pallas kernel — and one aggregation dispatch.  Every value
+    stays in HBM between dispatches, and two tiny count fetches size the
+    orientation/descriptor capacities to the image's ACTUAL keypoint
+    distribution (quantized so compiled variants stay bounded) instead of
+    worst-case static capacities — the kernels then do no padded-slot work
+    and can never saturate/drop keypoints.
+    """
+    per_octave, counts = _tpu_detect_phase(pixels, params, height, width)
+    outs, oriented, n_dev = _tpu_orient_phase(
+        per_octave, np.asarray(counts), params, height, width)
+    n_np = np.asarray(n_dev) if n_dev is not None else None
+    return _tpu_desc_phase(per_octave, outs, oriented, n_np, image_id,
+                           params, height, width)
+
+
+def sift_tpu_batch(pixel_list, image_ids, params: SIFTParams,
+                   height: int, width: int):
+    """Multi-image pipelined TPU SIFT: each phase is dispatched for EVERY
+    image before any count fetch, so one image's tunnel-sync stalls overlap
+    the other images' queued device work (works across devices too — the
+    per-device placement of parallel.sharded commits each image's chain to
+    its own device).  Returns [(FeatureSet, sat, overflow)] per image —
+    identical per-image results to generate_features."""
+    ph1 = [_tpu_detect_phase(px, params, height, width) for px in pixel_list]
+    ph2 = [
+        _tpu_orient_phase(po, np.asarray(c), params, height, width)
+        for (po, c) in ph1
+    ]
+    res = []
+    for iid, (po, _), (outs, oriented, n_dev) in zip(image_ids, ph1, ph2):
+        n_np = np.asarray(n_dev) if n_dev is not None else None
+        res.append(_tpu_desc_phase(po, outs, oriented, n_np, iid,
+                                   params, height, width))
+    return res
 
 
 def log_saturation(image_id, sat, overflow, params: SIFTParams):
@@ -534,6 +583,41 @@ def generate_features(
         params, image_id, blurs_all, locs_all, sig_all, theta_all,
         desc_all, mask_all, octs_all,
     )
+
+
+def generate_features_many(
+    pixel_list,
+    params: Optional[SIFTParams] = None,
+    image_ids: Optional[list] = None,
+) -> list:
+    """Multi-image feature generation on the default device.
+
+    On TPU the images' dispatch chains are phase-pipelined (sift_tpu_batch)
+    so per-image tunnel syncs overlap other images' device work — the way to
+    run N same-shape images through one chip at maximum utilisation.  Mixed
+    shapes or CPU fall back to sequential generate_features.
+    """
+    params = params or SIFTParams()
+    pxs = []
+    for px in pixel_list:
+        px = jnp.asarray(px)
+        if px.ndim == 3:
+            px = ops.to_bw(px)
+        pxs.append(px)
+    ids = list(image_ids) if image_ids is not None else list(range(len(pxs)))
+
+    same_shape = len({p.shape for p in pxs}) == 1
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    if not (on_tpu and same_shape and len(pxs) > 1):
+        return [generate_features(p, params, image_id=i)
+                for p, i in zip(pxs, ids)]
+
+    h, w = int(pxs[0].shape[0]), int(pxs[0].shape[1])
+    res = []
+    for iid, (fs, sat, ovf) in zip(ids, sift_tpu_batch(pxs, ids, params, h, w)):
+        log_saturation(iid, sat, ovf, params)
+        res.append(fs)
+    return res
 
 
 def _aggregate(params, image_id, blurs_all, locs_all, sig_all, theta_all,

@@ -334,6 +334,29 @@ def get_feature_matches(dm: DMatches, query: FeatureSet, target: FeatureSet,
                           distance=dm.distance, valid=dm.valid)
 
 
+@partial(jax.jit, static_argnames=("query_id", "target_id", "capacity"))
+def _matchset_device(dm: DMatches, q_loc, t_loc, query_id: int,
+                     target_id: int, capacity: int) -> MatchSet:
+    """Device-side MatchSet assembly: stable argsort on ~valid compacts the
+    matches to the front in query order — identical layout and padding to
+    the old host-side builder, but the only host traffic is the caller's
+    single count fetch (the full DMatches/loc arrays never cross the
+    tunnel)."""
+    order = jnp.argsort(~dm.valid, stable=True)[:capacity]
+    v = dm.valid[order]
+    tgt = jnp.clip(dm.target_idx[order], 0, t_loc.shape[0] - 1)
+    kp_loc = jnp.stack([q_loc[order], t_loc[tgt]], axis=1)
+    kp_loc = jnp.where(v[:, None, None], kp_loc, 0.0)
+    ids = jnp.asarray([query_id, target_id], jnp.int32)
+    kp_par = jnp.where(v[:, None], ids[None, :], -1)
+    return MatchSet(
+        kp_loc=kp_loc,
+        kp_parent=kp_par,
+        num_views=jnp.where(v, 2, 0).astype(jnp.int32),
+        mask=v,
+    )
+
+
 def matches_to_matchset(
     dm: DMatches,
     query: FeatureSet,
@@ -344,28 +367,12 @@ def matches_to_matchset(
 ) -> MatchSet:
     """Assemble the 2-view MatchSet (Pipeline.cu:210-222): keyPoints[2i] =
     query kp, [2i+1] = matched target kp, track order = query order
-    compacted over valid matches (host-side, stable)."""
+    compacted over valid matches (device-side stable compaction; one scalar
+    count fetch sizes the capacity like the reference's CPU compaction)."""
     import numpy as np
 
-    valid = np.asarray(dm.valid)
-    sel = np.nonzero(valid)[0]
-    n = len(sel)
-    cap = capacity or max(((n + 127) // 128) * 128, 128)
-    tgt = np.asarray(dm.target_idx)[sel]
-
-    kp_loc = np.zeros((cap, 2, 2), np.float32)
-    kp_par = np.full((cap, 2), -1, np.int32)
-    kp_loc[:n, 0] = np.asarray(query.loc)[sel]
-    kp_loc[:n, 1] = np.asarray(target.loc)[tgt]
-    kp_par[:n, 0] = query_id
-    kp_par[:n, 1] = target_id
-    nv = np.zeros(cap, np.int32)
-    nv[:n] = 2
-    mask = np.zeros(cap, bool)
-    mask[:n] = True
-    return MatchSet(
-        kp_loc=jnp.asarray(kp_loc),
-        kp_parent=jnp.asarray(kp_par),
-        num_views=jnp.asarray(nv),
-        mask=jnp.asarray(mask),
-    )
+    if capacity is None:
+        n = int(np.asarray(jnp.sum(dm.valid.astype(jnp.int32))))
+        capacity = max(((n + 127) // 128) * 128, 128)
+    return _matchset_device(dm, query.loc, target.loc, int(query_id),
+                            int(target_id), int(capacity))

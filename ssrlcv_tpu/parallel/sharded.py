@@ -208,7 +208,7 @@ def sharded_generate_features(mesh: Mesh, pixels, image_ids, sift_params,
     overflow (N,) bool) — per-image results identical to generate_features
     on the same platform (same program, same device kind).
     """
-    from ssrlcv_tpu.features.sift import _sift_fused_agg, _sift_tpu_agg
+    from ssrlcv_tpu.features.sift import _sift_fused_agg, sift_tpu_batch
 
     devices = list(mesh.devices.reshape(-1))
     nd = len(devices)
@@ -224,15 +224,20 @@ def sharded_generate_features(mesh: Mesh, pixels, image_ids, sift_params,
     # to match the global P((data, feat)) layout below; padding slots re-run
     # image 0 (pure device time on otherwise-idle devices — cheaper over the
     # tunnel than uploading placeholder arrays) with id -1
-    outs = []
-    for i in range(n_pad):
-        src = i if i < n else 0
-        iid = ids[src] if i < n else -1
-        px = jax.device_put(pixels[src], devices[i // local_n])
-        if tpu_kernels:
-            outs.append(_sift_tpu_agg(px, iid, sift_params, h, w))
-        else:
-            outs.append(_sift_fused_agg(px, jnp.int32(iid), sift_params, h, w))
+    slot_ids = [ids[i] if i < n else -1 for i in range(n_pad)]
+    placed = [
+        jax.device_put(pixels[i if i < n else 0], devices[i // local_n])
+        for i in range(n_pad)
+    ]
+    if tpu_kernels:
+        # phase-pipelined across images: count-fetch stalls of one image
+        # overlap the queued device work of the others
+        outs = sift_tpu_batch(placed, slot_ids, sift_params, h, w)
+    else:
+        outs = [
+            _sift_fused_agg(px, jnp.int32(iid), sift_params, h, w)
+            for px, iid in zip(placed, slot_ids)
+        ]
 
     # stitch per-device stacks into ONE global mesh-sharded pytree: the
     # leading (image) axis is sharded over the flattened mesh, exactly the

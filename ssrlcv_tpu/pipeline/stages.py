@@ -83,6 +83,16 @@ def do_feature_generation(state: PipelineState) -> PipelineState:
         for im, f, s, o in zip(state.images, feats, sat, ovf):
             log_saturation(im.id, s, o, state.config.sift)
             logger.info(f"image {im.id}: {int(f.count())} features")
+    elif len(state.images) > 1 and len(shapes) == 1:
+        # single device, several same-shape images: phase-pipelined batch
+        from ssrlcv_tpu.features.sift import generate_features_many
+
+        with logger.phase("sift_batch"):
+            feats = generate_features_many(
+                [im.pixels for im in state.images], state.config.sift,
+                image_ids=[im.id for im in state.images])
+        for im, f in zip(state.images, feats):
+            logger.info(f"image {im.id}: {int(f.count())} features")
     else:
         feats = []
         for im in state.images:
