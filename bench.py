@@ -132,27 +132,39 @@ def extra_metrics(fx, cams, seed, arts):
     dev["triangulate"] = _min_of(
         lambda: two_view_triangulate(generate_bundles(ms, cams))[0].points)
 
-    # MFU of the flagship Pallas matcher alone (brute-force mode, both
-    # capacity-padded sets): 4 nibble matmuls of (nq,128)x(128,nt)
+    # MFU of the flagship Pallas matcher (brute-force mode, both
+    # capacity-padded sets).  Useful-work flop definition kept from r3 for
+    # cross-round comparability: the 4 nibble matmuls of (nq,128)x(128,nt)
+    # (the int8 kernel now does that same work in ONE i8 matmul).
+    # mfu_match = end-to-end (prep + kernel + fetch); mfu_match_kernel =
+    # the bare pallas_call on prepped inputs (VERDICT r3 #5).
     from ssrlcv_tpu.matching.pallas_match import (
-        QUERY_TILE, TARGET_TILE, pallas_best_target)
+        QUERY_TILE_I8, TARGET_TILE_I8, _match_call_i8, _match_prep_i8,
+        pallas_best_target)
+    import jax
     import jax.numpy as jnp
 
     inf2 = jnp.full((f0.capacity, 2), jnp.inf, jnp.float32)
     t_match = _min_of(lambda: pallas_best_target(
         f0.descriptors, f1.descriptors, f1.loc, inf2, inf2,
         jnp.float32(0.0), f1.mask)[1])
-    nq_pad = -(-f0.capacity // QUERY_TILE) * QUERY_TILE
-    nt_pad = -(-f1.capacity // TARGET_TILE) * TARGET_TILE
+    margs = _match_prep_i8(f0.descriptors, f1.descriptors, f1.loc,
+                           inf2, inf2, jnp.float32(0.0), f1.mask)
+    jax.block_until_ready(margs)
+    t_kernel = _min_of(lambda: _match_call_i8(*margs)[1])
+    nq_pad = -(-f0.capacity // QUERY_TILE_I8) * QUERY_TILE_I8
+    nt_pad = -(-f1.capacity // TARGET_TILE_I8) * TARGET_TILE_I8
     flops = 4 * 2 * nq_pad * nt_pad * 128
     mfu = flops / t_match / V5E_BF16_PEAK_FLOPS
+    mfu_kernel = flops / t_kernel / V5E_BF16_PEAK_FLOPS
 
     # initial-cloud drift vs the reference golden cloud, in metres
     mine = np.asarray(pc.points)[np.asarray(ms.mask)]
     d, _ = cKDTree(fx["points0"]).query(mine)
     cloud_m = float(np.median(d)) * 1000.0
 
-    return {k: round(v, 4) for k, v in dev.items()}, round(mfu, 4), round(cloud_m, 3)
+    return ({k: round(v, 4) for k, v in dev.items()},
+            round(mfu, 4), round(mfu_kernel, 4), round(cloud_m, 3))
 
 
 def main():
@@ -183,7 +195,7 @@ def main():
     t0 = time.perf_counter()
     n_points, final_err, arts = run_once(fx, cams, seed, stage_s=stage_s)
     elapsed = time.perf_counter() - t0
-    dev_s, mfu_match, cloud_m = extra_metrics(fx, cams, seed, arts)
+    dev_s, mfu_match, mfu_match_kernel, cloud_m = extra_metrics(fx, cams, seed, arts)
 
     fps = 2.0 / elapsed
     print(json.dumps({
@@ -200,6 +212,7 @@ def main():
         "ba_error_per_point": round(final_err / max(n_points, 1), 9),
         "cloud_vs_golden_m": cloud_m,
         "mfu_match": mfu_match,
+        "mfu_match_kernel": mfu_match_kernel,
         "stages": {k: round(v, 3) for k, v in stage_s.items()},
         "stages_device_s": dev_s,
     }))

@@ -174,6 +174,14 @@ def _desc_kernel(spa, t_tiles, y0_ref, x0_ref, lx_ref, ly_ref, ct_ref, st_ref,
 
         binw = w / 2.0
         inv_binw = 1.0 / binw
+        # hoist the 8 angle-weight tiles out of the cell loop (they depend
+        # only on the sample angle): 8 computations instead of 128, and the
+        # weighted-magnitude product folds in once
+        wangs = []
+        for b in range(8):
+            adist = jnp.abs(ang - jnp.float32(b) * rad45)
+            wangs.append(
+                jnp.where(adist < rad45, one - adist / rad45, zero) * wgt)
         row = jnp.zeros((1, 128), jnp.float32)
         for c in range(16):
             hx0 = jnp.float32(_CELL_X[c]) * w
@@ -184,11 +192,9 @@ def _desc_kernel(spa, t_tiles, y0_ref, x0_ref, lx_ref, ly_ref, ct_ref, st_ref,
             ddy = jnp.abs(hy - cys)
             in_cell = jnp.where(ddx <= binw, one, zero) * jnp.where(
                 ddy <= binw, one, zero)
-            sp = in_cell * (one - ddx * inv_binw) * (one - ddy * inv_binw) * wgt
+            sp = in_cell * (one - ddx * inv_binw) * (one - ddy * inv_binw)
             for b in range(8):
-                adist = jnp.abs(ang - jnp.float32(b) * rad45)
-                wang = jnp.where(adist < rad45, one - adist / rad45, zero)
-                s = jnp.sum(sp * wang)
+                s = jnp.sum(sp * wangs[b])
                 row = row + jnp.where(lane128 == (c * 8 + b), s, zero)
         hist_ref[i : i + 1, :] = row
 
