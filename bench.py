@@ -124,6 +124,16 @@ def extra_metrics(fx, cams, seed, arts):
         lambda: generate_features_many(
             [fx["images"][0].pixels, fx["images"][1].pixels],
             image_ids=[0, 1])[1].descriptors) / 2.0
+    # per-phase SIFT breakdown (VERDICT r3 #2): detect = scale space +
+    # extrema + dense-field Newton refine + gradients (one program);
+    # describe = orientation + descriptor Pallas dispatches + aggregation
+    from ssrlcv_tpu.config import SIFTParams
+    from ssrlcv_tpu.features.sift import _sift_detect_all
+
+    px0 = fx["images"][0].pixels
+    dev["sift_detect"] = _min_of(
+        lambda: _sift_detect_all(px0, SIFTParams(), 1024, 1024)[0][0].loc)
+    dev["sift_describe"] = max(dev["sift_per_image"] - dev["sift_detect"], 0.0)
     dev["match"] = _min_of(
         lambda: M.match_double_constrained(
             f0, f1, cams, 0, 1, params, seed_dist=sd).target_idx)
