@@ -160,8 +160,15 @@ def _desc_kernel(spa, t_tiles, y0_ref, x0_ref, lx_ref, ly_ref, ct_ref, st_ref,
                 sgy = sgy + hit * vy
             return (sgx, sgy)
 
+        # bound the sweep to the 8-row blocks that can contain this
+        # keypoint's samples: qy spans [round(ly)-y0 - (w+1), ... + (w+1)]
+        # (rows outside have hit == 0, so skipping them is exact)
+        cyp = jnp.round(ly).astype(jnp.int32) - y0
+        wi = jnp.ceil(w).astype(jnp.int32)
+        blk_lo = jnp.maximum((cyp - wi - 1) // 8, 0)
+        blk_hi = jnp.minimum((cyp + wi + 1) // 8 + 1, spa // 8)
         sgx, sgy = jax.lax.fori_loop(
-            0, spa // 8, rowg_body,
+            blk_lo, blk_hi, rowg_body,
             (jnp.zeros((rows32, 128), jnp.float32),
              jnp.zeros((rows32, 128), jnp.float32)))
 
