@@ -52,8 +52,12 @@ def run_once(fx, cams, seed_features, stage_s=None):
 
     def sync(x):
         # real host fetch: block_until_ready does not wait on the tunneled
-        # axon backend, so stage boundaries must be a device->host read
-        np.asarray(x[(0,) * x.ndim])
+        # axon backend, so stage boundaries must be a device->host read.
+        # Only done when attributing per-stage time — the headline e2e run
+        # keeps stages pipelined (the production path) and syncs once at
+        # the end.
+        if stage_s is not None:
+            np.asarray(x[(0,) * x.ndim])
 
     t = time.perf_counter()
     # both images through the phase-pipelined batch path: one image's count
@@ -201,10 +205,19 @@ def main():
 
     # warmup (compilation)
     run_once(fx, cams, seed)
+    # headline e2e: fully pipelined (no per-stage syncs — the production
+    # path), min of 3 to shave tunnel RTT noise (runs vary ~±0.1 s)
+    elapsed = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n_points, final_err, arts = run_once(fx, cams, seed)
+        elapsed = min(elapsed, time.perf_counter() - t0)
+    # stage attribution run last (per-stage sync fetches serialise stages);
+    # twice — the first pays one-time getitem-compile costs for the sync
+    # fetches, the second is the reported attribution
+    run_once(fx, cams, seed, stage_s={})
     stage_s = {}
-    t0 = time.perf_counter()
     n_points, final_err, arts = run_once(fx, cams, seed, stage_s=stage_s)
-    elapsed = time.perf_counter() - t0
     dev_s, mfu_match, mfu_match_kernel, cloud_m = extra_metrics(fx, cams, seed, arts)
 
     fps = 2.0 / elapsed
