@@ -63,25 +63,41 @@ def _trunc_fmod(x, y):
     return x - tq * y
 
 
+def _interleave_tiles(gx, gy):
+    """128-lane-tile interleave of the two gradient planes:
+    out[:, 2k*128:(2k+1)*128] = gx tile k, out[:, (2k+1)*128:] = gy tile k —
+    so one contiguous (spa, 512) DMA window starting at lane 2*x0 contains
+    both planes' (spa, 256) aligned patches."""
+    h, w = gx.shape
+    t = jnp.stack([gx.reshape(h, w // 128, 128),
+                   gy.reshape(h, w // 128, 128)], axis=2)
+    return t.reshape(h, 2 * w)
+
+
 def _desc_kernel(spa, t_tiles, y0_ref, x0_ref, lx_ref, ly_ref, ct_ref, st_ref,
-                 win_ref, th_ref, dx_ref, dy_ref, gx_hbm, gy_hbm, hist_ref,
-                 bufx, bufy, semx, semy):
+                 win_ref, th_ref, dx_ref, dy_ref, gi_hbm, hist_ref,
+                 buf, sem):
     g = pl.program_id(0)
     ng = pl.num_programs(0)
     rows32 = t_tiles * 8
 
-    def dma(buf, sem, hbm, slot, gidx, i):
+    def dma(slot, gidx, i):
+        # ONE contiguous 2-D DMA fetches BOTH gradient planes: gi_hbm is the
+        # 128-lane-tile interleave [gx0 gy0 gx1 gy1 ...], so the (spa, 2*LW)
+        # window starting at lane 2*x0 carries gx tiles at lanes 0/256 and
+        # gy tiles at 128/384.  The kernel is DMA-issue-bound (~1.3 us per
+        # start/wait pair), so halving the copy count beats any compute win.
         idx = gidx * KB + i
         y = pl.multiple_of(y0_ref[idx], 8)
-        x = pl.multiple_of(x0_ref[idx], 128)
+        x2 = pl.multiple_of(2 * x0_ref[idx], 256)
         return pltpu.make_async_copy(
-            hbm.at[pl.ds(y, spa), pl.ds(x, LW)], buf.at[slot, i], sem.at[slot, i]
+            gi_hbm.at[pl.ds(y, spa), pl.ds(x2, 2 * LW)],
+            buf.at[slot, i], sem.at[slot, i]
         )
 
     def start_group(slot, gidx):
         for i in range(KB):
-            dma(bufx, semx, gx_hbm, slot, gidx, i).start()
-            dma(bufy, semy, gy_hbm, slot, gidx, i).start()
+            dma(slot, gidx, i).start()
 
     @pl.when(g == 0)
     def _():
@@ -101,8 +117,7 @@ def _desc_kernel(spa, t_tiles, y0_ref, x0_ref, lx_ref, ly_ref, ct_ref, st_ref,
 
     for i in range(KB):
         idx = g * KB + i
-        dma(bufx, semx, gx_hbm, g % 2, g, i).wait()
-        dma(bufy, semy, gy_hbm, g % 2, g, i).wait()
+        dma(g % 2, g, i).wait()
 
         ct = ct_ref[idx]
         st = st_ref[idx]
@@ -142,10 +157,10 @@ def _desc_kernel(spa, t_tiles, y0_ref, x0_ref, lx_ref, ly_ref, ct_ref, st_ref,
             # so load aligned (8, 128) half-blocks from the ref, then
             # extract rows with static sublane slices
             r8 = pl.multiple_of(rg * 8, 8)
-            blkx0 = bufx[g % 2, i, pl.ds(r8, 8), pl.ds(0, 128)]
-            blkx1 = bufx[g % 2, i, pl.ds(r8, 8), pl.ds(128, 128)]
-            blky0 = bufy[g % 2, i, pl.ds(r8, 8), pl.ds(0, 128)]
-            blky1 = bufy[g % 2, i, pl.ds(r8, 8), pl.ds(128, 128)]
+            blkx0 = buf[g % 2, i, pl.ds(r8, 8), pl.ds(0, 128)]
+            blkx1 = buf[g % 2, i, pl.ds(r8, 8), pl.ds(256, 128)]
+            blky0 = buf[g % 2, i, pl.ds(r8, 8), pl.ds(128, 128)]
+            blky1 = buf[g % 2, i, pl.ds(r8, 8), pl.ds(384, 128)]
             for j in range(8):
                 bx0 = jnp.broadcast_to(blkx0[j : j + 1, :], (rows32, 128))
                 bx1 = jnp.broadcast_to(blkx1[j : j + 1, :], (rows32, 128))
@@ -236,13 +251,10 @@ def descriptor_histograms(gx, gy, loc, theta, sigma, pixel_width,
             pl.BlockSpec((t_tiles * 8, 128), lambda g, *_: (0, 0)),
             pl.BlockSpec((t_tiles * 8, 128), lambda g, *_: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((KB, 128), lambda g, *_: (g, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, KB, spa, LW), jnp.float32),
-            pltpu.VMEM((2, KB, spa, LW), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, KB)),
+            pltpu.VMEM((2, KB, spa, 2 * LW), jnp.float32),
             pltpu.SemaphoreType.DMA((2, KB)),
         ],
     )
@@ -255,5 +267,5 @@ def descriptor_histograms(gx, gy, loc, theta, sigma, pixel_width,
       pad(loc[:, 0].astype(jnp.float32)), pad(loc[:, 1].astype(jnp.float32)),
       pad(jnp.cos(theta).astype(jnp.float32)), pad(jnp.sin(theta).astype(jnp.float32)),
       pad(win.astype(jnp.float32)), pad(theta.astype(jnp.float32)),
-      jnp.asarray(dx_np), jnp.asarray(dy_np), gx, gy)
+      jnp.asarray(dx_np), jnp.asarray(dy_np), _interleave_tiles(gx, gy))
     return hist[:k, :]
