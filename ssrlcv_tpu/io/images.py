@@ -107,7 +107,15 @@ def load_params_csv(path: str, size: tuple[int, int] | None = None) -> dict[str,
                     d = _pushbroom_row_to_dict([v.strip() for v in row], size)
                 else:
                     d = _camera_row_to_dict(row)
-            except (ValueError, IndexError):
+            except (ValueError, IndexError) as e:
+                # a malformed row silently skipped means the image runs with
+                # a ZERO camera and the whole reconstruction quietly
+                # collapses — surface it loudly instead
+                from ssrlcv_tpu.logging import logger
+
+                logger.err(
+                    f"params.csv: cannot parse row {row[:2]}...: {e} — the "
+                    "image will have NO camera parameters")
                 continue
             out[d["filename"]] = d
     return out
@@ -148,6 +156,12 @@ def load_image_with_params(path: str, image_id: int, no_params: bool = False) ->
                     img.foc = p["foc"]
                     img.dpix = p["dpix"]
                     img.timestamp = p["timestamp"]
+            else:
+                from ssrlcv_tpu.logging import logger
+
+                logger.warn(
+                    f"{key}: no row in {params_path} — camera parameters "
+                    "stay zero (matching/triangulation will degenerate)")
     return img
 
 

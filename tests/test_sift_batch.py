@@ -49,6 +49,27 @@ def test_generate_features_many_cpu_fallback_matches_single():
         np.testing.assert_array_equal(np.asarray(got.parent), np.asarray(ref.parent))
 
 
+def test_params_csv_malformed_rows_are_loud_not_silent(tmp_path):
+    """A malformed params.csv row must not silently zero a camera (that
+    collapses the whole reconstruction minutes later): the row is skipped
+    WITH an error log, valid rows still parse."""
+    from ssrlcv_tpu.io.images import load_params_csv
+    from ssrlcv_tpu.logging import logger
+
+    p = tmp_path / "params.csv"
+    p.write_text(
+        "good.png,1.0,2.0,3.0,0.1,0.2,0.3,0.04,0.04,0.16,4e-7,4e-7,0,64,64\n"
+        "bad.png,np.float32(1.0),2.0,3.0,0.1,0.2,0.3,0.04,0.04,0.16,4e-7,4e-7,0,64,64\n"
+    )
+    import io
+    logger.path = str(tmp_path / "log.csv")
+    params = load_params_csv(str(p))
+    assert "good.png" in params
+    assert "bad.png" not in params
+    log = (tmp_path / "log.csv").read_text() if (tmp_path / "log.csv").exists() else ""
+    assert "cannot parse" in log, "malformed row must be logged as an error"
+
+
 def test_matchset_device_assembly_matches_reference_layout():
     """The device-side MatchSet builder reproduces the documented layout:
     valid matches compacted to the front in query order, zero/-1/0/False
