@@ -69,7 +69,9 @@ def pairwise_index_matches(
         return sharded_pairwise_index_matches(
             mesh, features, cameras, params, seed_features, pairs=pairs)
 
-    out = {}
+    # dispatch every pair's match program first (async), then fetch — the
+    # device works through the queue while the host pulls earlier results
+    dms = {}
     sd = None
     sd_img = -1
     for i, j in pairs:
@@ -80,13 +82,15 @@ def pairwise_index_matches(
         # the IndexOnly kernel family whose relative-seed threshold is
         # UNSQUARED (MatchFactory.cu:2907 vs the DMatch kernels' :2278)
         if params.mode == "double":
-            dm = M.match_double_constrained(
+            dms[(i, j)] = M.match_double_constrained(
                 features[i], features[j], cameras, i, j, params,
                 seed_dist=sd, index_only=True,
             )
         else:
-            dm = M.match_brute_force(
+            dms[(i, j)] = M.match_brute_force(
                 features[i], features[j], params, seed_dist=sd, index_only=True)
+    out = {}
+    for (i, j), dm in dms.items():
         valid = np.asarray(dm.valid)
         qf = np.nonzero(valid)[0]
         tf = np.asarray(dm.target_idx)[qf]
