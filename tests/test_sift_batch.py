@@ -61,13 +61,19 @@ def test_params_csv_malformed_rows_are_loud_not_silent(tmp_path):
         "good.png,1.0,2.0,3.0,0.1,0.2,0.3,0.04,0.04,0.16,4e-7,4e-7,0,64,64\n"
         "bad.png,np.float32(1.0),2.0,3.0,0.1,0.2,0.3,0.04,0.04,0.16,4e-7,4e-7,0,64,64\n"
     )
-    import io
-    logger.path = str(tmp_path / "log.csv")
-    params = load_params_csv(str(p))
+    # capture the error call directly (the logger is a process-global whose
+    # file sink other tests may already own)
+    calls = []
+    orig = logger.err
+    logger.err = lambda msg: calls.append(msg)
+    try:
+        params = load_params_csv(str(p))
+    finally:
+        logger.err = orig
     assert "good.png" in params
     assert "bad.png" not in params
-    log = (tmp_path / "log.csv").read_text() if (tmp_path / "log.csv").exists() else ""
-    assert "cannot parse" in log, "malformed row must be logged as an error"
+    assert any("cannot parse" in m for m in calls), (
+        "malformed row must be logged as an error")
 
 
 def test_matchset_device_assembly_matches_reference_layout():
