@@ -25,7 +25,6 @@ Honest-reporting extras (VERDICT r2 #7):
 
 import json
 import os
-import sys
 import time
 
 FIXTURE = "/root/reference/test/checkpoints/Pipeline2View"

@@ -240,18 +240,6 @@ def _sift_detect_all(pixels, params: SIFTParams, height: int, width: int):
     return tuple(out)
 
 
-@partial(jax.jit, static_argnames=("params", "b", "bcap", "w_o", "w_d",
-                                   "pixel_width"))
-def _describe_bucket_kernel(kps, grads, params: SIFTParams, b: int,
-                            bcap: int, w_o: int, w_d: int,
-                            pixel_width: float):
-    """Jitted per-bucket describe with the Pallas orientation + descriptor
-    kernels — dispatched separately per bucket so no single program carries
-    many Pallas kernels (the XLA compile helper OOMs otherwise)."""
-    return _describe_bucket(kps, grads, params, b, bcap, w_o, w_d,
-                            pixel_width, tpu_kernels=True)
-
-
 def _quantize_cap(n: int, lo: int = 512) -> int:
     """Quantized keypoint capacity: round up to pow2(n)/8 granularity so
     count-aware dispatches reuse at most 8 compiled variants per power-of-2

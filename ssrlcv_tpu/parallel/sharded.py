@@ -24,7 +24,6 @@ virtual 8-device CPU mesh in tests/test_sharded.py.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -33,7 +32,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ssrlcv_tpu.config import BAParams, MatchParams
+from ssrlcv_tpu.config import MatchParams
 from ssrlcv_tpu.core.types import Cameras, FeatureSet, MatchSet
 from ssrlcv_tpu.geometry.bundles import generate_bundles
 from ssrlcv_tpu.geometry.triangulation import linear_error_objective, two_view_triangulate
