@@ -123,7 +123,7 @@ def _match_kernel(nt_ref, eps_ref, q_hi_ref, q_lo_ref, t_hi_ref, t_lo_ref,
         idx_out_ref[:, 0] = best_i_ref[:]
 
 
-def _match_kernel_i8(tt, nt_ref, eps_ref, q_ref, qn_ref, t_ref, tn_ref,
+def _match_kernel_i8(tt, eps_ref, q_ref, qn_ref, t_ref, tn_ref, tg_ref,
                      t_loc_ref, p1_ref, p2_ref,
                      idx_out_ref, dist_out_ref,
                      best_d_ref, best_i_ref):
@@ -131,10 +131,13 @@ def _match_kernel_i8(tt, nt_ref, eps_ref, q_ref, qn_ref, t_ref, tn_ref,
     centred (u8 - 128 -> i8, distance-invariant) so ONE i8 x i8 -> i32 MXU
     matmul replaces the 4 nibble matmuls, and the squared norms arrive
     precomputed (qn (QT,1), tn (1,TT) i32) — exact integer distances, 8x
-    fewer matmul passes and no in-kernel casts of the descriptor tiles."""
+    fewer matmul passes and no in-kernel casts of the descriptor tiles.
+    ``tg`` is the precomputed per-target validity row (valid mask AND
+    in-bounds tail, (1, TT) f32 0/1) — the epilogue is the kernel's cost
+    (VPU-bound, ~16 ops per candidate pair), so per-target predicates are
+    hoisted out of it entirely."""
     ti = pl.program_id(1)
     num_t = pl.num_programs(1)
-    nt_total = nt_ref[0]
     eps = eps_ref[0]
 
     @pl.when(ti == 0)
@@ -173,13 +176,11 @@ def _match_kernel_i8(tt, nt_ref, eps_ref, q_ref, qn_ref, t_ref, tn_ref,
     line_ok = jnp.where(jnp.abs(y_line - ty) <= eps, one, zero)
     gate = jnp.where(vertical[:, None], vert_ok, line_ok) * in_x
     gate = jnp.maximum(gate, jnp.where(unconstrained[:, None], one, zero))
-    t_ok = jnp.where(jnp.isfinite(tx), one, zero)  # (1, TT)
 
     start = ti * tt
     lanes = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-    in_bounds = jnp.where(start + lanes < nt_total, one, zero)
     big = jnp.float32(3.0e38)
-    d = d + (one - gate * in_bounds * t_ok) * big
+    d = d + (one - gate * tg_ref[:]) * big
 
     tile_best = jnp.min(d, axis=1)
     cand = jnp.where(d == tile_best[:, None], lanes, jnp.int32(2**30))
@@ -196,7 +197,7 @@ def _match_kernel_i8(tt, nt_ref, eps_ref, q_ref, qn_ref, t_ref, tn_ref,
 
 
 @partial(jax.jit, static_argnames=("qt", "tt"))
-def _match_call_i8(nt_arr, eps_arr, q8, qn, t8, tn, tl, p1p, p2p,
+def _match_call_i8(eps_arr, q8, qn, t8, tn, tg, tl, p1p, p2p,
                    qt=QUERY_TILE_I8, tt=TARGET_TILE_I8):
     """pallas_call wrapper for the int8 kernel on prepped inputs."""
     nq_pad = q8.shape[0]
@@ -206,11 +207,11 @@ def _match_call_i8(nt_arr, eps_arr, q8, qn, t8, tn, tl, p1p, p2p,
         partial(_match_kernel_i8, tt),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),                 # nt_total
             pl.BlockSpec(memory_space=pltpu.SMEM),                 # eps
             pl.BlockSpec((qt, 128), lambda i, j: (i, 0)),
             pl.BlockSpec((qt, 1), lambda i, j: (i, 0)),
             pl.BlockSpec((tt, 128), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, tt), lambda i, j: (0, j)),
             pl.BlockSpec((1, tt), lambda i, j: (0, j)),
             pl.BlockSpec((2, tt), lambda i, j: (0, j)),
             pl.BlockSpec((qt, 2), lambda i, j: (i, 0)),
@@ -228,7 +229,7 @@ def _match_call_i8(nt_arr, eps_arr, q8, qn, t8, tn, tl, p1p, p2p,
             pltpu.VMEM((qt,), jnp.float32),
             pltpu.VMEM((qt,), jnp.int32),
         ],
-    )(nt_arr, eps_arr, q8, qn, t8, tn, tl, p1p, p2p)
+    )(eps_arr, q8, qn, t8, tn, tg, tl, p1p, p2p)
     return idx, dist
 
 
@@ -255,8 +256,11 @@ def _match_prep_i8(q_desc, t_desc, t_loc, p1, p2, epsilon, t_valid):
     t8 = t16.astype(jnp.int8)
     qn = jnp.sum(q16 * q16, axis=1, keepdims=True).astype(jnp.int32)  # (Nq,1)
     tn = jnp.sum(t16 * t16, axis=1)[None, :].astype(jnp.int32)        # (1,Nt)
-    return (jnp.asarray([nt], jnp.int32), jnp.asarray([epsilon], jnp.float32),
-            q8, qn, t8, tn, tl, p1p, p2p)
+    # per-target validity row: valid mask AND real (non-padding) tail — the
+    # kernel multiplies this once instead of re-deriving both per tile
+    tg = (tv & (jnp.arange(nt_pad) < nt)).astype(jnp.float32)[None, :]
+    return (jnp.asarray([epsilon], jnp.float32),
+            q8, qn, t8, tn, tg, tl, p1p, p2p)
 
 
 @jax.jit
