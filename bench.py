@@ -160,11 +160,11 @@ def extra_metrics(fx, cams, seed, arts):
     inf2 = jnp.full((f0.capacity, 2), jnp.inf, jnp.float32)
     t_match = _min_of(lambda: pallas_best_target(
         f0.descriptors, f1.descriptors, f1.loc, inf2, inf2,
-        jnp.float32(0.0), f1.mask)[1])
+        jnp.float32(0.0), f1.mask)[1], reps=6)
     margs = _match_prep_i8(f0.descriptors, f1.descriptors, f1.loc,
                            inf2, inf2, jnp.float32(0.0), f1.mask)
     jax.block_until_ready(margs)
-    t_kernel = _min_of(lambda: _match_call_i8(*margs)[1])
+    t_kernel = _min_of(lambda: _match_call_i8(*margs)[1], reps=6)
     nq_pad = -(-f0.capacity // QUERY_TILE_I8) * QUERY_TILE_I8
     nt_pad = -(-f1.capacity // TARGET_TILE_I8) * TARGET_TILE_I8
     flops = 4 * 2 * nq_pad * nt_pad * 128
