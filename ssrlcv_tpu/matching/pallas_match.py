@@ -27,10 +27,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 QUERY_TILE = 256
 TARGET_TILE = 512
-# int8 single-matmul kernel tiles: larger tiles amortise per-step grid
-# overhead (measured sweep on v5e: 512x2048 is ~40% faster than 256x512)
-QUERY_TILE_I8 = 512
-TARGET_TILE_I8 = 2048
+# int8 single-matmul kernel tiles: larger target tiles amortise per-step
+# grid overhead (measured sweep on v5e: 256x4096 beats 256x512 by ~45%;
+# 512x4096 and 2048x2048 overflow the compile helper)
+QUERY_TILE_I8 = 256
+TARGET_TILE_I8 = 4096
 
 
 def _match_kernel(nt_ref, eps_ref, q_hi_ref, q_lo_ref, t_hi_ref, t_lo_ref,
