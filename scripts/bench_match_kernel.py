@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ssrlcv_tpu.matching.pallas_match import (
-    QUERY_TILE, TARGET_TILE, _match_call, _match_prep, pallas_best_target)
+    QUERY_TILE_I8, TARGET_TILE_I8, _match_call_i8, _match_prep_i8,
+    pallas_best_target)
 
 V5E_BF16_PEAK = 197e12
 
@@ -51,15 +52,15 @@ def main():
     tv = jnp.ones((nt,), bool)
     inf2 = jnp.full((nq, 2), jnp.inf, jnp.float32)
 
-    args = _match_prep(q, td, tl, inf2, inf2, jnp.float32(0.0), tv)
+    args = _match_prep_i8(q, td, tl, inf2, inf2, jnp.float32(0.0), tv)
     jax.block_until_ready(args)
 
-    t_kernel = t(lambda: _match_call(*args))
+    t_kernel = t(lambda: _match_call_i8(*args))
     t_e2e = t(lambda: pallas_best_target(q, td, tl, inf2, inf2,
                                          jnp.float32(0.0), tv))
 
-    nq_pad = -(-nq // QUERY_TILE) * QUERY_TILE
-    nt_pad = -(-nt // TARGET_TILE) * TARGET_TILE
+    nq_pad = -(-nq // QUERY_TILE_I8) * QUERY_TILE_I8
+    nt_pad = -(-nt // TARGET_TILE_I8) * TARGET_TILE_I8
     flops = 4 * 2 * nq_pad * nt_pad * 128
     print(json.dumps({
         "nq": nq, "nt": nt,
