@@ -141,9 +141,14 @@ def extra_metrics(fx, cams, seed, arts):
         lambda: M.match_double_constrained(
             f0, f1, cams, 0, 1, params, seed_dist=sd).target_idx)
 
-    pc, _ = two_view_triangulate(generate_bundles(ms, cams))
+    # ONE fused program (VERDICT r4 #5): bundle generation + triangulation
+    # in a single dispatch instead of two (each dispatch+fetch pays the
+    # ~25 ms tunnel RTT floor)
+    from ssrlcv_tpu.geometry.triangulation import triangulate_matches
+
+    pc, _ = triangulate_matches(ms, cams)
     dev["triangulate"] = _min_of(
-        lambda: two_view_triangulate(generate_bundles(ms, cams))[0].points)
+        lambda: triangulate_matches(ms, cams)[0].points)
 
     # MFU of the flagship Pallas matcher (brute-force mode, both
     # capacity-padded sets).  Useful-work flop definition kept from r3 for

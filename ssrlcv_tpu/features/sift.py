@@ -291,7 +291,15 @@ def _desc_bucket_kernel(oriented, grads, params: SIFTParams, b: int,
     """Count-aware descriptor dispatch: compact oriented copies to the exact
     quantized capacity ``dcap`` (>= n_ori) and run the fused Pallas
     descriptor kernel; outputs are padded back to the static ``out_cap`` so
-    the aggregation program keeps one compiled shape."""
+    the aggregation program keeps one compiled shape.
+
+    Cross-platform parity note (ADVICE r4): because dcap is count-aware this
+    path keeps ALL oriented keypoints, while the CPU/gather path saturates at
+    the static bucket capacity — when n_ori exceeds that capacity the TPU
+    path keeps keypoints the CPU path drops, and golden comparisons diverge
+    by exactly those extras.  The regime is flagged: the gather path logs a
+    saturation warning whenever it drops keypoints (log_saturation), so a
+    cross-platform mismatch is always accompanied by a CPU-side warning."""
     od = _device_compact(oriented, dcap)
     desc, loc_image = fill_descriptors(grads[b], od, pixel_width, params,
                                        w_max=w_d, use_kernel=True)
@@ -593,6 +601,10 @@ def generate_features_many(
             px = ops.to_bw(px)
         pxs.append(px)
     ids = list(image_ids) if image_ids is not None else list(range(len(pxs)))
+    if len(ids) != len(pxs):
+        raise ValueError(
+            f"generate_features_many: {len(pxs)} images but {len(ids)} "
+            "image_ids — a silent zip would drop trailing images")
 
     same_shape = len({p.shape for p in pxs}) == 1
     on_tpu = jax.devices()[0].platform not in ("cpu",)

@@ -145,6 +145,25 @@ def triangulate(bundles: Bundles, two_view: bool, cutoff: jax.Array | float = jn
     return n_view_triangulate(bundles)
 
 
+@partial(jax.jit, static_argnames=("two_view",))
+def triangulate_matches(matches, cameras, two_view: bool = True,
+                        cutoff: jax.Array | float = jnp.inf, pushbrooms=None):
+    """Bundle generation + triangulation fused into ONE jitted program.
+
+    The reference runs this as a single kernel pass (generateBundles then
+    computeTwoViewTriangulate back-to-back, PointCloudFactory.cu:4166/4493);
+    dispatching `generate_bundles` and `triangulate` as two separate jit
+    programs costs an extra host->device round trip per call (~25 ms on the
+    tunneled backend, VERDICT r4 #5) — call sites should use this instead.
+    """
+    from ssrlcv_tpu.geometry.bundles import generate_bundles
+
+    bd = generate_bundles(matches, cameras, pushbrooms=pushbrooms)
+    if two_view:
+        return two_view_triangulate(bd, cutoff)
+    return n_view_triangulate(bd)
+
+
 def linear_error_objective(bundles: Bundles) -> jax.Array:
     """Differentiable total linear error — the 2-view BA objective
     (what voidTwoViewTriangulate accumulates, PointCloudFactory.cu:4766-4878).

@@ -25,6 +25,11 @@ import numpy as np
 from ssrlcv_tpu.config import MatchParams
 from ssrlcv_tpu.core.types import Cameras, FeatureSet, MatchSet
 
+# max match programs in flight before the oldest result is fetched: deep
+# enough to hide the tunnel RTT + fetch latency behind queued device work,
+# shallow enough to cap live DMatch HBM buffers at large pair counts
+DISPATCH_WINDOW = 16
+
 
 def overlap_pairs(n: int, ordered: bool, estimated_overlap: float) -> list[tuple[int, int]]:
     """The (i < j) pair list with the reference's linear-sequence pair skip
@@ -69,12 +74,24 @@ def pairwise_index_matches(
         return sharded_pairwise_index_matches(
             mesh, features, cameras, params, seed_features, pairs=pairs)
 
-    # dispatch every pair's match program first (async), then fetch — the
-    # device works through the queue while the host pulls earlier results
+    # dispatch pairs ahead of the fetches (async) with a BOUNDED window —
+    # the device works through the queue while the host pulls earlier
+    # results, but at most DISPATCH_WINDOW pairs' DMatch buffers are live on
+    # device at once (unbounded dispatch held every pair's output
+    # simultaneously: multi-GB HBM pressure at large N — ADVICE r4)
     dms = {}
+    out = {}
+
+    def fetch(key):
+        dm = dms.pop(key)
+        valid = np.asarray(dm.valid)
+        qf = np.nonzero(valid)[0]
+        tf = np.asarray(dm.target_idx)[qf]
+        out[key] = np.stack([qf, tf], axis=1).astype(np.int64)
+
     sd = None
     sd_img = -1
-    for i, j in pairs:
+    for k, (i, j) in enumerate(pairs):
         if seed_features is not None and sd_img != i:
             sd = M.seed_distances(features[i], seed_features)
             sd_img = i
@@ -89,12 +106,10 @@ def pairwise_index_matches(
         else:
             dms[(i, j)] = M.match_brute_force(
                 features[i], features[j], params, seed_dist=sd, index_only=True)
-    out = {}
-    for (i, j), dm in dms.items():
-        valid = np.asarray(dm.valid)
-        qf = np.nonzero(valid)[0]
-        tf = np.asarray(dm.target_idx)[qf]
-        out[(i, j)] = np.stack([qf, tf], axis=1).astype(np.int64)
+        if k >= DISPATCH_WINDOW:
+            fetch(pairs[k - DISPATCH_WINDOW])
+    for key in list(dms.keys()):
+        fetch(key)
     return out
 
 

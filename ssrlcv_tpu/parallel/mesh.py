@@ -52,6 +52,26 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
+def host_value(x) -> np.ndarray:
+    """Host numpy value of any array — including non-fully-addressable
+    global arrays under multi-process ``jax.distributed`` (each process owns
+    only its local shards; replicated arrays read from a local shard, sharded
+    arrays gather across processes).  Single-process arrays pass through a
+    plain ``np.asarray``."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        if x.sharding.is_fully_replicated:
+            return np.asarray(x.addressable_shards[0].data)
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
+def host_tree(tree):
+    """host_value over every leaf of a pytree."""
+    return jax.tree_util.tree_map(host_value, tree)
+
+
 def initialize_distributed(coordinator: Optional[str] = None, num_processes: Optional[int] = None, process_id: Optional[int] = None):
     """Multi-host bring-up (one process per host): jax.distributed over DCN.
     No-op when already initialised or single-process."""

@@ -24,6 +24,7 @@ virtual 8-device CPU mesh in tests/test_sharded.py.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -159,6 +160,7 @@ def sharded_match_double_constrained(
         t_loc=_pad_to(target.loc, fsz),
         epsilon=float(params.epsilon),
     )
+    idx, dist = _local_pair(idx, dist)
     return _threshold(idx[:nq], dist[:nq], query.mask, params, seed_dist)
 
 
@@ -181,7 +183,19 @@ def sharded_match_brute_force(
         _pad_to(target.descriptors, fsz),
         _pad_to(target.mask, fsz),
     )
+    idx, dist = _local_pair(idx, dist)
     return _threshold(idx[:nq], dist[:nq], query.mask, params, seed_dist)
+
+
+def _local_pair(idx, dist):
+    """Under multi-process jax.distributed the matcher outputs are global
+    arrays sharded across hosts; the threshold epilogue is tiny host-side
+    logic, so gather them (no-op single-process)."""
+    from ssrlcv_tpu.parallel.mesh import host_value
+
+    if isinstance(idx, jax.Array) and not idx.is_fully_addressable:
+        return jnp.asarray(host_value(idx)), jnp.asarray(host_value(dist))
+    return idx, dist
 
 
 def sharded_generate_features(mesh: Mesh, pixels, image_ids, sift_params,
@@ -222,25 +236,64 @@ def sharded_generate_features(mesh: Mesh, pixels, image_ids, sift_params,
     # blocked assignment (device d owns images [d*local_n, (d+1)*local_n))
     # to match the global P((data, feat)) layout below; padding slots re-run
     # image 0 (pure device time on otherwise-idle devices — cheaper over the
-    # tunnel than uploading placeholder arrays) with id -1
+    # tunnel than uploading placeholder arrays) with id -1.
+    #
+    # Multi-process (jax.distributed): each process computes ONLY the slots
+    # whose device it can address (device_put onto a non-addressable device
+    # is impossible — VERDICT r4 row 30), then per-image results are
+    # host-gathered across processes so every process returns the identical
+    # feature list.
+    pid = jax.process_index()
+    multiproc = any(d.process_index != pid for d in devices)
     slot_ids = [ids[i] if i < n else -1 for i in range(n_pad)]
-    placed = [
-        jax.device_put(pixels[i if i < n else 0], devices[i // local_n])
-        for i in range(n_pad)
-    ]
+    owned = [i for i in range(n_pad) if devices[i // local_n].process_index == pid]
+    placed = {
+        i: jax.device_put(pixels[i if i < n else 0], devices[i // local_n])
+        for i in owned
+    }
     if tpu_kernels:
         # phase-pipelined across images: count-fetch stalls of one image
         # overlap the queued device work of the others
-        outs = sift_tpu_batch(placed, slot_ids, sift_params, h, w)
+        res = sift_tpu_batch([placed[i] for i in owned],
+                             [slot_ids[i] for i in owned], sift_params, h, w)
+        outs = dict(zip(owned, res))
     else:
-        outs = [
-            _sift_fused_agg(px, jnp.int32(iid), sift_params, h, w)
-            for px, iid in zip(placed, slot_ids)
-        ]
+        outs = {
+            i: _sift_fused_agg(placed[i], jnp.int32(slot_ids[i]), sift_params, h, w)
+            for i in owned
+        }
 
-    # stitch per-device stacks into ONE global mesh-sharded pytree: the
-    # leading (image) axis is sharded over the flattened mesh, exactly the
-    # layout the old shard_map version produced
+    if multiproc:
+        # host-gather: every process stacks its owned slots (equal counts by
+        # blocked construction) and allgathers; each image's FeatureSet comes
+        # back replicated on every process as host-backed arrays.
+        from jax.experimental import multihost_utils
+
+        local_stack = jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]),
+            *[outs[i] for i in owned])
+        gathered = multihost_utils.process_allgather(local_stack)  # (P, S, ...)
+        # slot -> (process, position-within-process) in owned order
+        slot_of = {}
+        for p in range(jax.process_count()):
+            p_owned = [i for i in range(n_pad)
+                       if devices[i // local_n].process_index == p]
+            for pos, i in enumerate(p_owned):
+                slot_of[i] = (p, pos)
+
+        def pick(i):
+            p, pos = slot_of[i]
+            return jax.tree_util.tree_map(lambda x: jnp.asarray(x[p][pos]), gathered)
+
+        per_slot = [pick(i) for i in range(n)]
+        feats = [s[0] for s in per_slot]
+        sat = jnp.stack([s[1] for s in per_slot])
+        ovf = jnp.stack([s[2] for s in per_slot])
+        return feats, sat, ovf
+
+    # single-process: stitch per-device stacks into ONE global mesh-sharded
+    # pytree — the leading (image) axis is sharded over the flattened mesh,
+    # exactly the layout the old shard_map version produced
     sharding = NamedSharding(mesh, P((DATA_AXIS, FEAT_AXIS)))
 
     def stack_local(d, leaves):
@@ -252,9 +305,10 @@ def sharded_generate_features(mesh: Mesh, pixels, image_ids, sift_params,
         shape = (n_pad,) + shards[0].shape[1:]
         return jax.make_array_from_single_device_arrays(shape, sharding, shards)
 
-    fs = jax.tree_util.tree_map(lambda *xs: to_global(list(xs)), *[o[0] for o in outs])
-    sat = to_global([o[1] for o in outs])
-    ovf = to_global([o[2] for o in outs])
+    outs_l = [outs[i] for i in range(n_pad)]
+    fs = jax.tree_util.tree_map(lambda *xs: to_global(list(xs)), *[o[0] for o in outs_l])
+    sat = to_global([o[1] for o in outs_l])
+    ovf = to_global([o[2] for o in outs_l])
     feats = [jax.tree_util.tree_map(lambda x: x[i], fs) for i in range(n)]
     return feats, sat[:n], ovf[:n]
 
@@ -288,6 +342,15 @@ def sharded_pairwise_index_matches(
     if pairs is None:
         pairs = [(i, j) for i in range(n - 1) for j in range(i + 1, n)]
 
+    # multi-process: pair k belongs to global device k % nd; each process
+    # runs only the pairs on its addressable devices (the reference's
+    # independent-job scaling story, per-pair instead of per-run), then pair
+    # results are host-allgathered so every process builds identical tracks
+    pid = jax.process_index()
+    multiproc = any(d.process_index != pid for d in devices)
+    owned_pairs = [(k, ij) for k, ij in enumerate(pairs)
+                   if devices[k % nd].process_index == pid]
+
     feat_on = {}
     seed_on = {}
     sd_on = {}
@@ -314,9 +377,23 @@ def sharded_pairwise_index_matches(
             cams_on[d] = jax.device_put(cameras, devices[d])
         return cams_on[d]
 
-    # async dispatch round-robin; fetch afterwards so devices overlap
+    # async dispatch round-robin with a bounded in-flight window (a multiple
+    # of the device count so every device keeps a queue): caps live DMatch
+    # HBM buffers at large pair counts while devices still overlap (ADVICE r4)
+    from ssrlcv_tpu.matching.tracks import DISPATCH_WINDOW
+
+    window = max(DISPATCH_WINDOW, 4 * nd)
     dms = {}
-    for k, (i, j) in enumerate(pairs):
+    out = {}
+
+    def fetch(key):
+        dm = dms.pop(key)
+        valid = np.asarray(dm.valid)
+        qf = np.nonzero(valid)[0]
+        tf = np.asarray(dm.target_idx)[qf]
+        out[key] = np.stack([qf, tf], axis=1).astype(np.int64)
+
+    for w, (k, (i, j)) in enumerate(owned_pairs):
         d = k % nd
         if params.mode == "double":
             dms[(i, j)] = M.match_double_constrained(
@@ -328,21 +405,55 @@ def sharded_pairwise_index_matches(
                 get_feat(i, d), get_feat(j, d), params,
                 seed_dist=get_sd(i, d), index_only=True,
             )
-    out = {}
-    for (i, j), dm in dms.items():
-        valid = np.asarray(dm.valid)
-        qf = np.nonzero(valid)[0]
-        tf = np.asarray(dm.target_idx)[qf]
-        out[(i, j)] = np.stack([qf, tf], axis=1).astype(np.int64)
+        if w >= window:
+            fetch(owned_pairs[w - window][1])
+    for key in list(dms.keys()):
+        fetch(key)
+    if multiproc:
+        out = _allgather_pair_matches(out, pairs, devices, nd)
     return out
 
 
-def sharded_triangulate(mesh: Mesh, matches: MatchSet, cameras: Cameras):
-    """Track-sharded 2-view triangulation: sharding constraints let jit
-    partition the whole bundle+triangulate computation over data."""
+def _allgather_pair_matches(local_out, pairs, devices, nd):
+    """Exchange per-pair index matches across processes: each process packs
+    its pairs' (n, 2) arrays into one padded int64 buffer (equal shape on
+    every process), allgathers, and rebuilds the full {pair: matches} dict —
+    every process then holds identical inputs for host-side track building
+    (matching the reference semantics, MatchFactory.cu:942-1004)."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    n_proc = jax.process_count()
+    per_proc = [[] for _ in range(n_proc)]
+    for k, ij in enumerate(pairs):
+        per_proc[devices[k % nd].process_index].append(ij)
+    max_pairs = max(len(p) for p in per_proc)
+    counts = [len(local_out.get(ij, ())) for ij in per_proc[jax.process_index()]]
+    max_n = max(counts, default=0)
+    # equal-shape padded buffers: (max_pairs, max_n_global?, 2) — max_n
+    # differs per process, so gather the counts first (tiny) to size buffers
+    cnt_buf = np.full((max_pairs,), -1, np.int64)
+    cnt_buf[: len(counts)] = counts
+    all_counts = np.asarray(multihost_utils.process_allgather(cnt_buf))
+    cap = max(int(all_counts.max()), 1)
+    buf = np.zeros((max_pairs, cap, 2), np.int64)
+    for r, ij in enumerate(per_proc[jax.process_index()]):
+        m = local_out[ij]
+        buf[r, : len(m)] = m
+    all_buf = np.asarray(multihost_utils.process_allgather(buf))
+    out = {}
+    for p in range(n_proc):
+        for r, ij in enumerate(per_proc[p]):
+            out[ij] = all_buf[p, r, : all_counts[p, r]]
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _triangulate_jit(mesh: Mesh):
+    """Mesh-keyed jitted triangulation step, built once per mesh so repeated
+    `sharded_triangulate` calls reuse the same traced function (VERDICT r4
+    #8: jitting a fresh closure per call re-traced every invocation)."""
     sharding = NamedSharding(mesh, P(DATA_AXIS))
-    cap = matches.capacity
-    matches = pad_matchset(matches, mesh.shape[DATA_AXIS])
 
     def step(ms: MatchSet, cams: Cameras):
         ms = jax.tree_util.tree_map(
@@ -351,7 +462,22 @@ def sharded_triangulate(mesh: Mesh, matches: MatchSet, cameras: Cameras):
         bd = generate_bundles(ms, cams)
         return two_view_triangulate(bd)
 
-    pc, err = jax.jit(step)(matches, cameras)
+    return jax.jit(step)
+
+
+def sharded_triangulate(mesh: Mesh, matches: MatchSet, cameras: Cameras):
+    """Track-sharded 2-view triangulation: sharding constraints let jit
+    partition the whole bundle+triangulate computation over data."""
+    cap = matches.capacity
+    matches = pad_matchset(matches, mesh.shape[DATA_AXIS])
+    pc, err = _triangulate_jit(mesh)(matches, cameras)
+    if isinstance(pc.points, jax.Array) and not pc.points.is_fully_addressable:
+        # multi-process: the cloud is consumed host-side (PLY, filters) —
+        # gather it so every process returns the identical full cloud
+        from ssrlcv_tpu.parallel.mesh import host_tree, host_value
+
+        pc = jax.tree_util.tree_map(jnp.asarray, host_tree(pc))
+        err = jnp.asarray(host_value(err))
     if pc.points.shape[0] != cap:  # drop the padding tracks again
         pc = jax.tree_util.tree_map(lambda x: x[:cap], pc)
     return pc, err
@@ -448,31 +574,52 @@ def sharded_bundle_adjust(
         free = free.at[0].set(0.0)
     free = free.reshape(-1)
 
-    def local_obj(p_flat, kp_loc, kp_parent, num_views, mask):
-        ms = MatchSet(kp_loc=kp_loc, kp_parent=kp_parent, num_views=num_views, mask=mask)
-        cams = cameras.replace(
-            cam_pos=p_flat.reshape(n_cams, 6)[:, 0:3],
-            cam_rot=p_flat.reshape(n_cams, 6)[:, 3:6],
-        )
-        return linear_error_objective(generate_bundles(ms, cams))
+    best_flat, init_err, best_err, hist = _ba_jit(mesh, iterations)(
+        params0, cameras, free, jnp.asarray(initial_lambda, params0.dtype),
+        matches_p.kp_loc, matches_p.kp_parent, matches_p.num_views, matches_p.mask)
 
-    def kernel(p0, kp_loc, kp_parent, num_views, mask):
-        def obj(p_flat):
-            return jax.lax.psum(
-                local_obj(p_flat, kp_loc, kp_parent, num_views, mask), DATA_AXIS
+    if isinstance(best_flat, jax.Array) and not best_flat.is_fully_addressable:
+        # multi-process: P() outputs are replicated — read the local shard
+        from ssrlcv_tpu.parallel.mesh import host_value
+
+        best_flat = jnp.asarray(host_value(best_flat))
+        init_err = jnp.asarray(host_value(init_err))
+        best_err = jnp.asarray(host_value(best_err))
+        hist = jnp.asarray(host_value(hist))
+
+    out_cams = _apply_params(cameras, best_flat.reshape(n_cams, 6))
+    cloud, _ = sharded_triangulate(mesh, matches, out_cams)
+    return BAResult(out_cams, cloud, init_err, best_err, hist)
+
+
+@functools.lru_cache(maxsize=None)
+def _ba_jit(mesh: Mesh, iterations: int):
+    """(mesh, iterations)-keyed jitted BA loop: cameras / free-parameter mask
+    / initial lambda are traced ARGUMENTS (replicated specs) rather than
+    closure captures, so repeated calls hit the jit cache instead of
+    re-tracing (VERDICT r4 #8)."""
+
+    def kernel(p0, cameras, free, lam0, kp_loc, kp_parent, num_views, mask):
+        n_cams = cameras.cam_pos.shape[0]
+
+        def local_obj(p_flat):
+            ms = MatchSet(kp_loc=kp_loc, kp_parent=kp_parent,
+                          num_views=num_views, mask=mask)
+            cams = cameras.replace(
+                cam_pos=p_flat.reshape(n_cams, 6)[:, 0:3],
+                cam_rot=p_flat.reshape(n_cams, 6)[:, 3:6],
             )
+            return linear_error_objective(generate_bundles(ms, cams))
+
+        def obj(p_flat):
+            return jax.lax.psum(local_obj(p_flat), DATA_AXIS)
 
         init_err = obj(p0)
 
         def body(i, state):
             params, best_params, best_err, lam, done, hist = state
-            e_local, g_local = jax.value_and_grad(local_obj)(
-                params, kp_loc, kp_parent, num_views, mask
-            )
-            H = jax.lax.psum(
-                jax.hessian(local_obj)(params, kp_loc, kp_parent, num_views, mask),
-                DATA_AXIS,
-            )
+            e_local, g_local = jax.value_and_grad(local_obj)(params)
+            H = jax.lax.psum(jax.hessian(local_obj)(params), DATA_AXIS)
             g = jax.lax.psum(g_local, DATA_AXIS) * free
             step = _lm_solve(H, g, lam, free)
             new_params = params - step * free
@@ -493,22 +640,18 @@ def sharded_bundle_adjust(
 
         hist0 = jnp.full((iterations + 1,), init_err)
         state0 = (
-            p0, p0, init_err,
-            jnp.asarray(initial_lambda, p0.dtype),
+            p0, p0, init_err, lam0,
             jnp.asarray(False), hist0,
         )
         final = jax.lax.fori_loop(0, iterations, body, state0)
         return final[1], init_err, final[2], final[5]
 
-    best_flat, init_err, best_err, hist = jax.jit(
+    return jax.jit(
         shard_map(
             kernel,
             mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            in_specs=(P(), P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS),
+                      P(DATA_AXIS), P(DATA_AXIS)),
             out_specs=(P(), P(), P(), P()),
         )
-    )(params0, matches_p.kp_loc, matches_p.kp_parent, matches_p.num_views, matches_p.mask)
-
-    out_cams = _apply_params(cameras, best_flat.reshape(n_cams, 6))
-    cloud, _ = sharded_triangulate(mesh, matches, out_cams)
-    return BAResult(out_cams, cloud, init_err, best_err, hist)
+    )

@@ -181,8 +181,7 @@ def do_feature_matching(state: PipelineState) -> PipelineState:
 
 def do_triangulation(state: PipelineState) -> PipelineState:
     """Stage 3 (doTriangulation, Pipeline.cu:260-295)."""
-    from ssrlcv_tpu.geometry.bundles import generate_bundles
-    from ssrlcv_tpu.geometry.triangulation import triangulate
+    from ssrlcv_tpu.geometry.triangulation import triangulate_matches
 
     two_view = len(state.images) == 2
     if state.mesh is not None and two_view and state.pushbrooms is None:
@@ -190,8 +189,8 @@ def do_triangulation(state: PipelineState) -> PipelineState:
 
         pc, err = sharded_triangulate(state.mesh, state.matches, state.cameras)
     else:
-        bd = generate_bundles(state.matches, state.cameras, pushbrooms=state.pushbrooms)
-        pc, err = triangulate(bd, two_view)
+        pc, err = triangulate_matches(
+            state.matches, state.cameras, two_view, pushbrooms=state.pushbrooms)
     state.cloud = pc
     logger.info(f"initial cloud: {int(pc.mask.sum())} points, error {float(err):.6f}")
     _write_cloud(state, "ssrlcv-initial")
@@ -202,8 +201,7 @@ def do_filtering(state: PipelineState) -> PipelineState:
     """Stage 4 (doFiltering, Pipeline.cu:297-369): 2-view linear cutoff then
     deterministic statistical filter; re-triangulate."""
     from ssrlcv_tpu.geometry import filters as F
-    from ssrlcv_tpu.geometry.bundles import generate_bundles
-    from ssrlcv_tpu.geometry.triangulation import triangulate
+    from ssrlcv_tpu.geometry.triangulation import triangulate_matches
 
     cfg = state.config.filter
     two_view = len(state.images) == 2
@@ -217,8 +215,8 @@ def do_filtering(state: PipelineState) -> PipelineState:
         pushbrooms=state.pushbrooms,
     )
     state.matches = ms
-    bd = generate_bundles(ms, state.cameras, pushbrooms=state.pushbrooms)
-    pc, err = triangulate(bd, two_view)
+    pc, err = triangulate_matches(ms, state.cameras, two_view,
+                                  pushbrooms=state.pushbrooms)
     state.cloud = pc
     logger.info(f"filtered cloud: {int(pc.mask.sum())} points, error {float(err):.6f}")
     _write_cloud(state, "ssrlcv-filtered")
