@@ -113,8 +113,14 @@ def _desc_kernel(spa, t_tiles, y0_ref, x0_ref, lx_ref, ly_ref, ct_ref, st_ref,
     rad45 = jnp.float32(jnp.pi / 4.0)
     dxf = dx_ref[:].astype(jnp.float32)   # (32T', 128) lattice offsets
     dyf = dy_ref[:].astype(jnp.float32)
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
+    # ---- phase A: per-keypoint sampling (DMA + in-VMEM row sweep) --------
+    # Per-keypoint serial work is ONLY the irreducibly-per-patch part:
+    # rotated coords + the row sweep.  Everything downstream runs stacked
+    # across the KB keypoints of the grid step (phase B) — VERDICT r4 #1's
+    # cross-keypoint vectorisation of the histogram body.
+    sgx_l, sgy_l, cxs_l, cys_l, val_l = [], [], [], [], []
+    ct_l, st_l, w_l, th_l = [], [], [], []
     for i in range(KB):
         idx = g * KB + i
         dma(g % 2, g, i).wait()
@@ -187,38 +193,71 @@ def _desc_kernel(spa, t_tiles, y0_ref, x0_ref, lx_ref, ly_ref, ct_ref, st_ref,
             (jnp.zeros((rows32, 128), jnp.float32),
              jnp.zeros((rows32, 128), jnp.float32)))
 
-        # per-sample weights — the reference quirks included: Gaussian over
-        # the WINDOW width, theta-relative angle via sign-preserving fmod
-        # (descriptor.py:94-117)
-        mag = jnp.sqrt(sgx * sgx + sgy * sgy)
-        wgt = mag * jnp.exp(-(cxs * cxs + cys * cys) / (2.0 * w * w)) * valid_s
-        ang = _trunc_fmod(_atan2(sgy, sgx) - th_ref[idx] + two_pi, two_pi)
+        sgx_l.append(sgx)
+        sgy_l.append(sgy)
+        cxs_l.append(cxs)
+        cys_l.append(cys)
+        val_l.append(valid_s)
+        shape = (rows32, 128)
+        ct_l.append(jnp.full(shape, ct))
+        st_l.append(jnp.full(shape, st))
+        w_l.append(jnp.full(shape, w))
+        th_l.append(jnp.full(shape, th_ref[idx]))
 
-        binw = w / 2.0
-        inv_binw = 1.0 / binw
-        # hoist the 8 angle-weight tiles out of the cell loop (they depend
-        # only on the sample angle): 8 computations instead of 128, and the
-        # weighted-magnitude product folds in once
-        wangs = []
+    # ---- phase B: histogram body vectorised ACROSS the KB keypoints ------
+    # All (KB*rows32, 128) elementwise math costs the same vector work as
+    # the per-keypoint version, but the 16x8 bin reductions become ONE
+    # segmented reduce per (cell, bin) over the whole stack instead of KB
+    # scalar cross-lane reductions — the measured ~2.5 us/keypoint serial
+    # floor was dominated by those 128 reductions per keypoint.
+    sgx = jnp.concatenate(sgx_l)            # (KB*rows32, 128)
+    sgy = jnp.concatenate(sgy_l)
+    cxs = jnp.concatenate(cxs_l)
+    cys = jnp.concatenate(cys_l)
+    valid_s = jnp.concatenate(val_l)
+    ct = jnp.concatenate(ct_l)
+    st = jnp.concatenate(st_l)
+    w = jnp.concatenate(w_l)
+    th = jnp.concatenate(th_l)
+
+    # per-sample weights — the reference quirks included: Gaussian over
+    # the WINDOW width, theta-relative angle via sign-preserving fmod
+    # (descriptor.py:94-117)
+    mag = jnp.sqrt(sgx * sgx + sgy * sgy)
+    wgt = mag * jnp.exp(-(cxs * cxs + cys * cys) / (2.0 * w * w)) * valid_s
+    ang = _trunc_fmod(_atan2(sgy, sgx) - th + two_pi, two_pi)
+
+    binw = w / 2.0
+    inv_binw = 1.0 / binw
+    # hoist the 8 angle-weight tiles out of the cell loop (they depend
+    # only on the sample angle): 8 computations instead of 128, and the
+    # weighted-magnitude product folds in once
+    wangs = []
+    for b in range(8):
+        adist = jnp.abs(ang - jnp.float32(b) * rad45)
+        wangs.append(jnp.where(adist < rad45, one - adist / rad45, zero) * wgt)
+
+    # per-(cell, bin): ONE lane-reduction to a (KB*rows32, 1) column placed
+    # into lane c*8+b of a row-stacked accumulator; the 16x8 per-keypoint
+    # scalar reductions of the old body collapse into a single grouped
+    # sublane reduction at the end (2-D layouts throughout — Mosaic rejects
+    # 1-D reduction results)
+    lane_n = jax.lax.broadcasted_iota(jnp.int32, (KB * rows32, 128), 1)
+    acc = jnp.zeros((KB * rows32, 128), jnp.float32)
+    for c in range(16):
+        hx0 = jnp.float32(_CELL_X[c]) * w
+        hy0 = jnp.float32(_CELL_Y[c]) * w
+        hx = hx0 * ct - hy0 * st
+        hy = hx0 * st + hy0 * ct
+        ddx = jnp.abs(hx - cxs)
+        ddy = jnp.abs(hy - cys)
+        in_cell = jnp.where(ddx <= binw, one, zero) * jnp.where(
+            ddy <= binw, one, zero)
+        sp = in_cell * (one - ddx * inv_binw) * (one - ddy * inv_binw)
         for b in range(8):
-            adist = jnp.abs(ang - jnp.float32(b) * rad45)
-            wangs.append(
-                jnp.where(adist < rad45, one - adist / rad45, zero) * wgt)
-        row = jnp.zeros((1, 128), jnp.float32)
-        for c in range(16):
-            hx0 = jnp.float32(_CELL_X[c]) * w
-            hy0 = jnp.float32(_CELL_Y[c]) * w
-            hx = hx0 * ct - hy0 * st
-            hy = hx0 * st + hy0 * ct
-            ddx = jnp.abs(hx - cxs)
-            ddy = jnp.abs(hy - cys)
-            in_cell = jnp.where(ddx <= binw, one, zero) * jnp.where(
-                ddy <= binw, one, zero)
-            sp = in_cell * (one - ddx * inv_binw) * (one - ddy * inv_binw)
-            for b in range(8):
-                s = jnp.sum(sp * wangs[b])
-                row = row + jnp.where(lane128 == (c * 8 + b), s, zero)
-        hist_ref[i : i + 1, :] = row
+            s = jnp.sum(sp * wangs[b], axis=1, keepdims=True)  # (KB*rows32, 1)
+            acc = acc + jnp.where(lane_n == (c * 8 + b), s, zero)
+    hist_ref[:, :] = jnp.sum(acc.reshape(KB, rows32, 128), axis=1)
 
 
 @partial(jax.jit, static_argnames=("w_max", "interpret"))

@@ -36,7 +36,7 @@ def test_two_process_distributed_agrees_with_single():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=600)
+            out, _ = p.communicate(timeout=2700)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

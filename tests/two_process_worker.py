@@ -1,4 +1,5 @@
-"""Worker for the 2-process jax.distributed smoke test (VERDICT r3 #6).
+"""Worker for the 2-process jax.distributed smoke test (VERDICT r3 #6 +
+r4 #2: the per-device-placement stages run multi-host for real).
 
 Run as: python tests/two_process_worker.py <process_id> <port>
 
@@ -8,8 +9,14 @@ ssrlcv_tpu.parallel.mesh.initialize_distributed), builds the global
 (4, 2) mesh spanning both processes, and runs:
 
   * sharded_best_target — exact agreement with a local numpy oracle
-  * sharded_bundle_adjust (1 LM iteration) — agreement with the dense
-    single-process objective/gradient step computed locally
+  * sharded_ba_step — agreement with the dense single-process
+    objective/gradient step computed locally
+  * sharded_generate_features — image-parallel SIFT across BOTH processes,
+    exact agreement with the same per-image program run locally
+  * sharded_pairwise_index_matches — the N-view pair sweep split across
+    processes, exact agreement with the serial sweep
+  * run_pipeline end-to-end over the global mesh — cloud/BA agreement with
+    the same pipeline on a local-devices-only mesh
 
 Exits non-zero on any mismatch; the parent test asserts both exit codes.
 """
@@ -24,6 +31,11 @@ def main(pid: int, port: int) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # NOTE: no persistent compilation cache here — this environment routes
+    # compiles through a remote helper whose CPU features differ from the
+    # host, and loading its cached CPU AOT results locally risks SIGILL
+    # (observed: cpu_aot_loader "+prefer-no-gather not supported" + dead
+    # worker).  The worker pays its compiles fresh instead.
 
     from ssrlcv_tpu.parallel.mesh import (
         DATA_AXIS, FEAT_AXIS, initialize_distributed, make_mesh)
@@ -116,8 +128,110 @@ def main(pid: int, port: int) -> None:
     np.testing.assert_allclose(err_np, float(flat_obj(p0)), rtol=1e-6)
     np.testing.assert_allclose(new_p_np.reshape(-1), ref_p, rtol=1e-4, atol=1e-7)
 
+    # --- multi-host image-parallel SIFT (VERDICT r4 #2) -------------------
+    from ssrlcv_tpu.config import MatchParams, SIFTParams
+    from ssrlcv_tpu.features.sift import generate_features
+
+    # process-INTERLEAVED device order: consecutive mesh slots alternate
+    # between the two processes, so 2 images / 3 pairs really do land on
+    # both hosts (the default order would give them all to process 0)
+    devs = jax.devices()
+    inter = [devs[(i % 2) * 4 + i // 2] for i in range(8)]
+    assert {d.process_index for d in inter[:2]} == {0, 1}
+    mesh_i = make_mesh(inter, data=4, feat=2)
+
+    sp = SIFTParams()
+    base = (rng.random((128, 128)) * 255).astype(np.uint8)
+    img1 = np.roll(base, 8, axis=1)  # shifted copy: guaranteed true matches
+    px = np.stack([base, img1])
+
+    feats, sat, ovf = sharded.sharded_generate_features(
+        mesh_i, jnp.asarray(px), [0, 1], sp)
+    assert len(feats) == 2
+    for i in range(2):
+        # oracle: the SAME per-image fused program run on a local device
+        ref_fs = generate_features(px[i], sp, image_id=i, fused=True,
+                                   tpu_kernels=False)
+        for name in ("loc", "sigma", "theta", "descriptors", "mask", "parent"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(feats[i], name)),
+                np.asarray(getattr(ref_fs, name)), err_msg=f"img{i}.{name}")
+    n_feat = int(np.asarray(feats[0].mask).sum())
+    assert n_feat > 50, f"synthetic image produced only {n_feat} features"
+
+    # --- multi-host N-view pair sweep (VERDICT r4 #2) ---------------------
+    from ssrlcv_tpu.matching.tracks import pairwise_index_matches
+
+    feats3 = feats + [generate_features(np.roll(base, 16, axis=1), sp,
+                                        image_id=2, fused=True,
+                                        tpu_kernels=False)]
+    mp = MatchParams(mode="brute")
+    got_pairs = sharded.sharded_pairwise_index_matches(mesh_i, feats3, cams, mp)
+    ref_pairs = pairwise_index_matches(feats3, cams, mp)
+    assert set(got_pairs) == set(ref_pairs)
+    total = 0
+    for key in ref_pairs:
+        np.testing.assert_array_equal(got_pairs[key], ref_pairs[key],
+                                      err_msg=f"pair {key}")
+        total += len(ref_pairs[key])
+    assert total > 50, f"pair sweep found only {total} matches"
+
+    # --- end-to-end pipeline over the global mesh (VERDICT r4 #2) ---------
+    import dataclasses
+    import tempfile
+
+    from ssrlcv_tpu.config import PipelineConfig
+    from ssrlcv_tpu.io.refdata import RefImage
+    from ssrlcv_tpu.pipeline.stages import PipelineState, run_pipeline
+
+    # consistent miniature stereo geometry: cam1 offset -1 km along x, both
+    # looking +z; the global +8 px x-roll of img1 is then a fronto-parallel
+    # plane at depth foc*B/(8*dpix) = 12.5 km, so triangulation errors are
+    # ~0 and the filters keep the cloud
+    mini_fov = 2.0 * np.arctan(1e-3 * 64 / 0.1)
+
+    def ref_image(i, pixels):
+        return RefImage(
+            id=i, size=(128, 128), color_depth=1,
+            cam_pos=np.asarray([-1.0 * i, 0.0, 0.0], np.float32),
+            cam_rot=np.zeros(3, np.float32),
+            fov=np.asarray([mini_fov, mini_fov], np.float32), foc=0.1,
+            dpix=np.asarray([1e-3, 1e-3], np.float32), timestamp=0,
+            ecef_offset=np.zeros(3, np.float32), is_pushbroom=False,
+            pixels=pixels,
+        )
+
+    outdir = tempfile.mkdtemp(prefix=f"sfm2p{pid}-")
+    config = PipelineConfig(output_dir=outdir).replace(match=mp)
+    images = [ref_image(0, base), ref_image(1, img1)]
+
+    def run(with_mesh):
+        st = PipelineState(
+            config=config,
+            images=[dataclasses.replace(im) for im in images],
+            mesh=with_mesh)
+        return run_pipeline(st)
+
+    got = run(mesh_i)                                     # 2 processes
+    local_mesh = make_mesh(jax.local_devices(), data=4, feat=1)
+    ref = run(local_mesh)                                 # this process only
+
+    gm = np.asarray(got.cloud.mask)
+    rm = np.asarray(ref.cloud.mask)
+    assert rm.sum() > 20, f"e2e reconstruction collapsed: {rm.sum()} points"
+    # filter cutoffs are float sums whose reduction order differs between the
+    # 8-shard and 4-shard partitions: borderline tracks may flip
+    agree = (gm == rm).mean()
+    assert agree > 0.99, f"cloud masks agree only {agree:.3%}"
+    both = gm & rm
+    np.testing.assert_allclose(
+        np.asarray(got.cloud.points)[both], np.asarray(ref.cloud.points)[both],
+        rtol=1e-3, atol=1e-5)
+    ge, re_ = got.ba_error, ref.ba_error
+    assert abs(ge[1] - re_[1]) <= 1e-2 * max(abs(re_[1]), 1e-6), (ge, re_)
+
     print(f"worker {pid}: OK ({jax.process_count()} processes, "
-          f"{jax.device_count()} global devices)")
+          f"{jax.device_count()} global devices, e2e {int(both.sum())} points)")
 
 
 if __name__ == "__main__":
