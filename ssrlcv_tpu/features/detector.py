@@ -84,9 +84,25 @@ def detect_extrema(
     # first-`capacity` true positions in index order: a radix sort on
     # position-or-sentinel keys is 2.6x faster than jnp.nonzero(size=...)
     # on TPU (84 ms vs 215 ms at the 21M-element octave-0 stack) and
-    # produces the identical index list
-    key = jnp.where(flat, jnp.arange(flat.shape[0], dtype=jnp.int32),
-                    jnp.int32(2**31 - 1))
+    # produces the identical index list.
+    #
+    # Hierarchical variant for big stacks (the octave-0 sort was 35% of
+    # detect time): sort 1024-element row segments along the minor axis
+    # (vectorised bitonic), keep each segment's first ROW_M keys, then sort
+    # only the survivors — measured 30 ms vs 63 ms for the full sort at the
+    # 16.7M octave-0 stack, identical output.  Exact while no segment holds
+    # > ROW_M extrema; post-prefilter density is ~1.3 per segment on the
+    # everest fixtures (ROW_M = 128 is ~100x headroom), and an overflowing
+    # segment degrades exactly like the existing capacity truncation
+    # (tail keypoints of that segment drop).
+    n = flat.shape[0]
+    key = jnp.where(flat, jnp.arange(n, dtype=jnp.int32), jnp.int32(2**31 - 1))
+    ROW, ROW_M = 1024, 128
+    if n >= (1 << 20):
+        r = -(-n // ROW)
+        keyp = jnp.pad(key, (0, r * ROW - n), constant_values=jnp.int32(2**31 - 1))
+        rows = jax.lax.sort(keyp.reshape(r, ROW), dimension=1)[:, :ROW_M]
+        key = rows.reshape(-1)
     srt = jax.lax.sort(key)[:capacity]
     idx = jnp.where(srt == 2**31 - 1, -1, srt)
     valid = idx >= 0

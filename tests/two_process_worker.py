@@ -140,7 +140,11 @@ def main(pid: int, port: int) -> None:
     assert {d.process_index for d in inter[:2]} == {0, 1}
     mesh_i = make_mesh(inter, data=4, feat=2)
 
-    sp = SIFTParams()
+    # small feature capacity: the default 65536 makes the sharded 2-view
+    # matcher's local distance tile (16k x 32k f32 per virtual device, x
+    # several fusion copies) balloon past 60 GB host RAM on the CPU backend
+    # (observed OOM kill) — the 128x128 synthetic images have ~2k features
+    sp = SIFTParams(max_keypoints=4096)
     base = (rng.random((128, 128)) * 255).astype(np.uint8)
     img1 = np.roll(base, 8, axis=1)  # shifted copy: guaranteed true matches
     px = np.stack([base, img1])
@@ -202,7 +206,7 @@ def main(pid: int, port: int) -> None:
         )
 
     outdir = tempfile.mkdtemp(prefix=f"sfm2p{pid}-")
-    config = PipelineConfig(output_dir=outdir).replace(match=mp)
+    config = PipelineConfig(output_dir=outdir).replace(match=mp, sift=sp)
     images = [ref_image(0, base), ref_image(1, img1)]
 
     def run(with_mesh):
