@@ -41,8 +41,8 @@ def _objective(params, matches: MatchSet, cameras: Cameras, n_cams: int):
         cam_rot=params.reshape(n_cams, 6)[:, 3:6],
     )
     bd = generate_bundles(matches, cams)
-    _, total = n_view_triangulate(bd)
-    return total
+    pc, total = n_view_triangulate(bd)
+    return total, jnp.sum(pc.mask.astype(jnp.float32))
 
 
 @partial(jax.jit, static_argnames=("iterations", "fix_camera0"))
@@ -59,13 +59,27 @@ def bundle_adjust_nview_jit(
         free = free.at[0].set(0.0)
     free = free.reshape(-1)
 
-    obj = lambda p: _objective(p, matches, cameras, n_cams)
-    init_err = obj(p0)
+    # The raw angular-error objective has a DEGENERATE minimum: tracks whose
+    # least-squares system goes singular are masked out of the sum, so the
+    # optimiser can "win" by rotating cameras until rays are parallel and
+    # every track invalidates (error -> 0 with an empty cloud).  Guard: any
+    # candidate that LOSES valid tracks pays a huge penalty — the penalty is
+    # piecewise-constant (zero gradient/Hessian, the Newton step is
+    # untouched), it only vetoes acceptance of degenerate steps.
+    raw = lambda p: _objective(p, matches, cameras, n_cams)
+    init_err, n_valid0 = raw(p0)
+
+    def obj_grad(p):
+        return raw(p)[0]
+
+    def obj(p):
+        e, nv = raw(p)
+        return e + 1e6 * jnp.maximum(n_valid0 - nv, 0.0)
 
     def body(i, state):
         p, best_p, best_e, lam = state
-        g = jax.grad(obj)(p) * free
-        H = jax.hessian(obj)(p)
+        g = jax.grad(obj_grad)(p) * free
+        H = jax.hessian(obj_grad)(p)
         damped = H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-8))
         pin = 1.0 - free
         damped = damped * free[:, None] * free[None, :] + jnp.diag(pin)
