@@ -136,7 +136,7 @@ def main():
                           "scalars) independent of track count",
         "results": results,
     }
-    path = os.path.join(os.path.dirname(__file__), "..", "SCALING_r04.json")
+    path = os.path.join(os.path.dirname(__file__), "..", "SCALING_r05.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")
