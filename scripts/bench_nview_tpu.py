@@ -83,7 +83,9 @@ def main():
 
     n_tracks = int(ms.count())
     golden_tracks = len(fx["multimatches0"][0])
-    mine = np.asarray(pc.points)[np.asarray(ms.mask)]
+    # triangulation-validity mask, not the match mask: tracks whose normal
+    # system went singular carry garbage point rows
+    mine = np.asarray(pc.points)[np.asarray(pc.mask)]
     d, _ = cKDTree(fx["points0"]).query(mine)
 
     n_filtered = int(ms_f.count())

@@ -92,12 +92,13 @@ def detect_extrema(
     # only the survivors — measured 30 ms vs 63 ms for the full sort at the
     # 16.7M octave-0 stack, identical output.  Exact while no segment holds
     # > ROW_M extrema; post-prefilter density is ~1.3 per segment on the
-    # everest fixtures (ROW_M = 128 is ~100x headroom), and an overflowing
-    # segment degrades exactly like the existing capacity truncation
-    # (tail keypoints of that segment drop).
+    # everest fixtures (ROW_M = 256 is ~200x headroom — kept large because
+    # TIE extrema can be locally dense on synthetic/periodic textures), and
+    # an overflowing segment degrades exactly like the existing capacity
+    # truncation (tail keypoints of that segment drop).
     n = flat.shape[0]
     key = jnp.where(flat, jnp.arange(n, dtype=jnp.int32), jnp.int32(2**31 - 1))
-    ROW, ROW_M = 1024, 128
+    ROW, ROW_M = 1024, 256
     if n >= (1 << 20):
         r = -(-n // ROW)
         keyp = jnp.pad(key, (0, r * ROW - n), constant_values=jnp.int32(2**31 - 1))

@@ -281,13 +281,23 @@ def _match_prep_i8(q_desc, t_desc, t_loc, p1, p2, epsilon, t_valid,
     # kernel multiplies this once instead of re-deriving both per tile
     tg = (tv & (jnp.arange(nt_pad) < nt)).astype(jnp.float32)[None, :]
 
-    # per-tile y-band intervals for the kernel's (qtile, ttile) skip gate:
-    # query band = [min(p1y,p2y)-eps, max(p1y,p2y)+eps] (+-inf when the
-    # query is unconstrained — p1x = inf — so it keeps every tile live);
-    # padded queries / invalid targets contribute the neutral (+inf, -inf)
+    # per-tile y-band intervals for the kernel's (qtile, ttile) skip gate.
+    # The full gate accepts targets with tx up to eps OUTSIDE the segment's
+    # x-range whose y tracks the EXTRAPOLATED line, i.e. up to |slope|*eps
+    # beyond [top, bottom] — the conservative band is therefore
+    # [top - eps*(1+|slope|), bottom + eps*(1+|slope|)] (for near-vertical
+    # segments the band blows up and simply keeps every tile live, which is
+    # correct; exactly-vertical segments use the plain [top-eps, bottom+eps]
+    # vert_ok test).  +-inf when the query is unconstrained (p1x = inf);
+    # padded queries / invalid targets contribute the neutral (+inf, -inf).
     unc = ~jnp.isfinite(p1[:, 0])
-    q_lo = jnp.where(unc, -jnp.inf, jnp.minimum(p1[:, 1], p2[:, 1]) - epsilon)
-    q_hi = jnp.where(unc, jnp.inf, jnp.maximum(p1[:, 1], p2[:, 1]) + epsilon)
+    dxs = jnp.abs(p1[:, 0] - p2[:, 0])
+    dys = jnp.abs(p1[:, 1] - p2[:, 1])
+    vertical = dxs == 0
+    slope_abs = dys / jnp.where(vertical, 1.0, dxs)
+    slack = jnp.where(vertical, epsilon, epsilon * (1.0 + slope_abs))
+    q_lo = jnp.where(unc, -jnp.inf, jnp.minimum(p1[:, 1], p2[:, 1]) - slack)
+    q_hi = jnp.where(unc, jnp.inf, jnp.maximum(p1[:, 1], p2[:, 1]) + slack)
     q_lo = jnp.pad(q_lo, (0, nq_pad - nq), constant_values=jnp.inf)
     q_hi = jnp.pad(q_hi, (0, nq_pad - nq), constant_values=-jnp.inf)
     qiv = jnp.stack([jnp.min(q_lo.reshape(-1, qt), axis=1),

@@ -74,11 +74,39 @@ def pairwise_index_matches(
         return sharded_pairwise_index_matches(
             mesh, features, cameras, params, seed_features, pairs=pairs)
 
-    # dispatch pairs ahead of the fetches (async) with a BOUNDED window —
-    # the device works through the queue while the host pulls earlier
-    # results, but at most DISPATCH_WINDOW pairs' DMatch buffers are live on
-    # device at once (unbounded dispatch held every pair's output
-    # simultaneously: multi-GB HBM pressure at large N — ADVICE r4)
+    state = {"sd": None, "sd_img": -1}
+
+    def dispatch(k, ij):
+        i, j = ij
+        if seed_features is not None and state["sd_img"] != i:
+            state["sd"] = M.seed_distances(features[i], seed_features)
+            state["sd_img"] = i
+        # index_only=True: the reference's exhaustive pairing goes through
+        # the IndexOnly kernel family whose relative-seed threshold is
+        # UNSQUARED (MatchFactory.cu:2907 vs the DMatch kernels' :2278)
+        if params.mode == "double":
+            return M.match_double_constrained(
+                features[i], features[j], cameras, i, j, params,
+                seed_dist=state["sd"], index_only=True,
+            )
+        return M.match_brute_force(
+            features[i], features[j], params, seed_dist=state["sd"],
+            index_only=True)
+
+    return windowed_pair_sweep(pairs, dispatch, DISPATCH_WINDOW)
+
+
+def windowed_pair_sweep(pairs, dispatch, window: int):
+    """Dispatch pairs ahead of the fetches (async) with a BOUNDED window —
+    the device works through the queue while the host pulls earlier results,
+    but at most ``window`` pairs' DMatch buffers are live on device at once
+    (unbounded dispatch held every pair's output simultaneously: multi-GB
+    HBM pressure at large N — ADVICE r4).  Shared by the serial sweep and
+    parallel.sharded's multi-device sweep so the fetch epilogue cannot
+    drift between them.
+
+    ``dispatch(k, pair)`` -> DMatches; returns {pair: (n, 2) int64 of
+    (query_feature, target_feature)}."""
     dms = {}
     out = {}
 
@@ -89,25 +117,10 @@ def pairwise_index_matches(
         tf = np.asarray(dm.target_idx)[qf]
         out[key] = np.stack([qf, tf], axis=1).astype(np.int64)
 
-    sd = None
-    sd_img = -1
-    for k, (i, j) in enumerate(pairs):
-        if seed_features is not None and sd_img != i:
-            sd = M.seed_distances(features[i], seed_features)
-            sd_img = i
-        # index_only=True: the reference's exhaustive pairing goes through
-        # the IndexOnly kernel family whose relative-seed threshold is
-        # UNSQUARED (MatchFactory.cu:2907 vs the DMatch kernels' :2278)
-        if params.mode == "double":
-            dms[(i, j)] = M.match_double_constrained(
-                features[i], features[j], cameras, i, j, params,
-                seed_dist=sd, index_only=True,
-            )
-        else:
-            dms[(i, j)] = M.match_brute_force(
-                features[i], features[j], params, seed_dist=sd, index_only=True)
-        if k >= DISPATCH_WINDOW:
-            fetch(pairs[k - DISPATCH_WINDOW])
+    for k, ij in enumerate(pairs):
+        dms[ij] = dispatch(k, ij)
+        if k >= window:
+            fetch(pairs[k - window])
     for key in list(dms.keys()):
         fetch(key)
     return out

@@ -264,10 +264,22 @@ def sharded_generate_features(mesh: Mesh, pixels, image_ids, sift_params,
         }
 
     if multiproc:
-        # host-gather: every process stacks its owned slots (equal counts by
-        # blocked construction) and allgathers; each image's FeatureSet comes
-        # back replicated on every process as host-backed arrays.
+        # host-gather: every process stacks its owned slots and allgathers;
+        # each image's FeatureSet comes back replicated on every process as
+        # host-backed arrays.  process_allgather requires IDENTICAL shapes
+        # on every process — blocked construction guarantees that only when
+        # the mesh devices split evenly across processes, so fail loudly
+        # (not corrupt the gather) otherwise.
         from jax.experimental import multihost_utils
+
+        per_proc_counts = {}
+        for d in devices:
+            per_proc_counts[d.process_index] = per_proc_counts.get(d.process_index, 0) + 1
+        if len(set(per_proc_counts.values())) != 1:
+            raise ValueError(
+                "sharded_generate_features: mesh devices split unevenly "
+                f"across processes ({per_proc_counts}) — the per-image "
+                "allgather needs an equal device count per process")
 
         local_stack = jax.tree_util.tree_map(
             lambda *xs: np.stack([np.asarray(x) for x in xs]),
@@ -380,35 +392,23 @@ def sharded_pairwise_index_matches(
     # async dispatch round-robin with a bounded in-flight window (a multiple
     # of the device count so every device keeps a queue): caps live DMatch
     # HBM buffers at large pair counts while devices still overlap (ADVICE r4)
-    from ssrlcv_tpu.matching.tracks import DISPATCH_WINDOW
+    from ssrlcv_tpu.matching.tracks import DISPATCH_WINDOW, windowed_pair_sweep
 
-    window = max(DISPATCH_WINDOW, 4 * nd)
-    dms = {}
-    out = {}
-
-    def fetch(key):
-        dm = dms.pop(key)
-        valid = np.asarray(dm.valid)
-        qf = np.nonzero(valid)[0]
-        tf = np.asarray(dm.target_idx)[qf]
-        out[key] = np.stack([qf, tf], axis=1).astype(np.int64)
-
-    for w, (k, (i, j)) in enumerate(owned_pairs):
-        d = k % nd
+    def dispatch(w, ij):
+        i, j = ij
+        d = owned_pairs[w][0] % nd
         if params.mode == "double":
-            dms[(i, j)] = M.match_double_constrained(
+            return M.match_double_constrained(
                 get_feat(i, d), get_feat(j, d), get_cams(d), i, j, params,
                 seed_dist=get_sd(i, d), index_only=True,
             )
-        else:
-            dms[(i, j)] = M.match_brute_force(
-                get_feat(i, d), get_feat(j, d), params,
-                seed_dist=get_sd(i, d), index_only=True,
-            )
-        if w >= window:
-            fetch(owned_pairs[w - window][1])
-    for key in list(dms.keys()):
-        fetch(key)
+        return M.match_brute_force(
+            get_feat(i, d), get_feat(j, d), params,
+            seed_dist=get_sd(i, d), index_only=True,
+        )
+
+    out = windowed_pair_sweep(
+        [ij for _, ij in owned_pairs], dispatch, max(DISPATCH_WINDOW, 4 * nd))
     if multiproc:
         out = _allgather_pair_matches(out, pairs, devices, nd)
     return out

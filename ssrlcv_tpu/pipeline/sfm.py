@@ -51,19 +51,16 @@ def _build_mesh(spec: str):
 
 def main(argv=None) -> int:
     args = parse_args(argv)
-    try:
-        import jax
+    import jax
 
-        if jax.process_count() > 1:
-            # multi-process (one per host): every process runs the same
-            # pipeline and produces identical artifacts — write them to
-            # per-process dirs so shared-filesystem paths never race
-            sfx = f"-p{jax.process_index()}"
-            args.output_dir = args.output_dir + sfx
-            if args.checkpoint_dir:
-                args.checkpoint_dir = args.checkpoint_dir + sfx
-    except Exception:
-        pass
+    if jax.process_count() > 1:
+        # multi-process (one per host): every process runs the same
+        # pipeline and produces identical artifacts — write them to
+        # per-process dirs so shared-filesystem paths never race
+        sfx = f"-p{jax.process_index()}"
+        args.output_dir = args.output_dir + sfx
+        if args.checkpoint_dir:
+            args.checkpoint_dir = args.checkpoint_dir + sfx
     logger.log_dir = args.output_dir
     logger.path = f"{args.output_dir}/ssrlcv.log"
     logger.log_state("start")
