@@ -293,3 +293,86 @@ def test_window_double_constrained_matches_scalar_oracle(cameras_2view):
         if valid:
             assert int(np.asarray(got.target_idx)[i]) == best_j, i
             assert float(np.asarray(got.distance)[i]) == best, i
+
+
+def test_matcher_tile_skip_band_is_conservative():
+    """The Pallas matcher's (qtile, ttile) y-band skip gate must never skip
+    a tile containing a target the FULL epipolar gate accepts — including
+    targets admitted via the line test's extrapolation up to eps beyond the
+    segment's x-range, which for steep segments lie |slope|*eps past
+    [top, bottom] (round-5 review finding: the naive [top-eps, bottom+eps]
+    band provably drops whole tiles of such targets in this construction)."""
+    from ssrlcv_tpu.matching.match import _epipolar_segment_mask
+    from ssrlcv_tpu.matching.pallas_match import (
+        QUERY_TILE_I8, _match_prep_i8)
+
+    rng = np.random.default_rng(3)
+    nq, nt = 256, 8192
+    qd = jnp.asarray(rng.integers(0, 256, (nq, 128)).astype(np.uint8))
+    td = jnp.asarray(rng.integers(0, 256, (nt, 128)).astype(np.uint8))
+    eps = 25.0
+
+    # segments inside y [0, 1024]: exact verticals, STEEP slope-100
+    # segments, ordinary ones
+    p1 = rng.uniform(0, 1024, size=(nq, 2)).astype(np.float32)
+    p2 = rng.uniform(0, 1024, size=(nq, 2)).astype(np.float32)
+    p2[:64, 0] = p1[:64, 0]                       # exact vertical
+    for q in range(64, 128):                      # steep: slope exactly 100
+        p2[q, 0] = p1[q, 0] + 4.0
+        p2[q, 1] = p1[q, 1] + 400.0
+
+    # y-SORTED targets over [0, 4096] (production feature lists are
+    # y-major): with TARGET_TILE 2048 the upper tiles hold only y > ~2000,
+    # far outside every segment's naive [top-eps, bottom+eps] band
+    t_loc = np.column_stack([
+        rng.uniform(0, 1024, nt),
+        np.sort(rng.uniform(0, 4096, nt))]).astype(np.float32)
+    # CONSTRUCTED adversarial targets: on each steep query's extrapolated
+    # line 0.9*eps beyond the right endpoint -> ty ~ y + 100*21.4 in
+    # [2100, 3300], i.e. in the upper target tiles
+    for k, q in enumerate(range(64, 128)):
+        left, right = (p1[q], p2[q]) if p1[q, 0] < p2[q, 0] else (p2[q], p1[q])
+        slope = (left[1] - right[1]) / (left[0] - right[0])
+        tx = right[0] + 0.9 * eps
+        ty = slope * (tx - left[0]) + left[1]
+        # insert at the y-sorted position
+        pos = np.searchsorted(t_loc[:, 1], ty)
+        t_loc[min(pos, nt - 1)] = (tx, ty)
+    order = np.argsort(t_loc[:, 1], kind="stable")
+    t_loc = jnp.asarray(t_loc[order])
+    t_valid = jnp.ones(nt, bool)
+
+    gate = np.asarray(_epipolar_segment_mask(
+        jnp.asarray(p1), jnp.asarray(p2), t_loc, eps))  # (nq, nt)
+    tl = np.asarray(t_loc)
+    qs, ts = np.nonzero(gate)
+    # the construction must produce admissions outside the naive band (the
+    # regression this test pins), or it has no teeth
+    top = np.minimum(p1[:, 1], p2[:, 1]) - eps
+    bot = np.maximum(p1[:, 1], p2[:, 1]) + eps
+    outside = (tl[ts, 1] < top[qs]) | (tl[ts, 1] > bot[qs])
+    assert outside.sum() > 10, (
+        f"only {outside.sum()} extrapolated admissions constructed")
+
+    args = _match_prep_i8(qd, td, t_loc, jnp.asarray(p1), jnp.asarray(p2),
+                          jnp.float32(eps), t_valid)
+    qiv, tiv = np.asarray(args[1]), np.asarray(args[2])
+    tt = args[5].shape[0] // tiv.shape[1]         # target tile size used
+
+    q_tiles = qs // QUERY_TILE_I8
+    t_tiles = ts // tt
+    live = (qiv[0, q_tiles] <= tiv[1, t_tiles]) & (qiv[1, q_tiles] >= tiv[0, t_tiles])
+    assert live.all(), (
+        f"{(~live).sum()} admissible (query, target) pairs fall in tiles "
+        "the skip gate would drop")
+
+    # teeth: the naive per-query band at tile granularity DOES drop some of
+    # these pairs — if this stops failing, the construction has gone stale
+    naive_q = np.stack([
+        np.pad(top, (0, qiv.shape[1] * QUERY_TILE_I8 - nq),
+               constant_values=np.inf).reshape(-1, QUERY_TILE_I8).min(1),
+        np.pad(bot, (0, qiv.shape[1] * QUERY_TILE_I8 - nq),
+               constant_values=-np.inf).reshape(-1, QUERY_TILE_I8).max(1)])
+    naive_live = ((naive_q[0, q_tiles] <= tiv[1, t_tiles])
+                  & (naive_q[1, q_tiles] >= tiv[0, t_tiles]))
+    assert not naive_live.all(), "construction no longer discriminates"
