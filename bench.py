@@ -153,7 +153,10 @@ def extra_metrics(fx, cams, seed, arts):
     # MFU of the flagship Pallas matcher (brute-force mode, both
     # capacity-padded sets).  Useful-work flop definition kept from r3 for
     # cross-round comparability: the 4 nibble matmuls of (nq,128)x(128,nt)
-    # (the int8 kernel now does that same work in ONE i8 matmul).
+    # (the int8 kernel now does that same work in ONE i8 matmul).  NOTE:
+    # since round 5 the kernel SKIPS provably-empty tile pairs, so this
+    # "utilization" figure DROPS as the kernel gets faster (flops counted
+    # as if every tile ran) — compare kernel TIME across rounds, not MFU.
     # mfu_match = end-to-end (prep + kernel + fetch); mfu_match_kernel =
     # the bare pallas_call on prepped inputs (VERDICT r3 #5).
     from ssrlcv_tpu.matching.pallas_match import (
