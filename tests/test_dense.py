@@ -52,3 +52,76 @@ def test_sad_matching_finds_identical_patch():
     dx = tloc[inner, 0] - qloc[inner, 0]
     assert (dx == 5).mean() > 0.8, (dx == 5).mean()
     assert float(np.median(np.asarray(dist)[inner])) == 0.0
+
+
+def test_dense_orientation_field_matches_gather():
+    """The stencil orientation field reproduces the per-keypoint gather
+    histograms (compute_orientations) up to f32 reassociation ties."""
+    import jax.numpy as jnp
+    from ssrlcv_tpu.config import SIFTParams
+    from ssrlcv_tpu.features.dense import _dense_orientation_field, _interior_grid
+    from ssrlcv_tpu.features.detector import SSKeyPoints
+    from ssrlcv_tpu.features.orientation import compute_orientations
+    from ssrlcv_tpu.ops import image_ops as ops
+
+    params = SIFTParams()
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (64, 80)).astype(np.uint8)
+    norm = ops.normalize_minmax(ops.to_float(jnp.asarray(img)))
+    grads = ops.pixel_gradients(norm)
+    w_or = 5
+
+    theta_f, ok_f = _dense_orientation_field(grads, params, w_or, 64, 80)
+
+    locs = _interior_grid(64, 80, params.border)
+    n = len(locs)
+    kps = SSKeyPoints(
+        blur=jnp.zeros(n, jnp.int32), loc=jnp.asarray(locs),
+        intensity=jnp.zeros(n, jnp.float32), sigma=jnp.ones(n, jnp.float32),
+        theta=jnp.zeros(n, jnp.float32), mask=jnp.ones(n, bool))
+    oriented = compute_orientations(grads[None], kps, 1.0, params, w_max=w_or)
+
+    ok_ref = np.asarray(oriented.mask)
+    th_ref = np.asarray(oriented.theta)
+    ok_new = np.asarray(ok_f)
+    th_new = np.asarray(theta_f)
+    assert ok_new.shape == ok_ref.shape
+    # masks agree except threshold/peak ties from f32 reassociation
+    mask_mismatch = (ok_new != ok_ref).mean()
+    assert mask_mismatch < 5e-3, mask_mismatch
+    both = ok_new & ok_ref
+    dth = np.abs(th_new[both] - th_ref[both])
+    dth = np.minimum(dth, 2 * np.pi - dth)
+    # nearly all common orientations agree tightly
+    assert (dth < 1e-3).mean() > 0.999, (dth < 1e-3).mean()
+
+
+def test_dense_sift_fast_matches_gather_path():
+    """generate_dense_sift fast path agrees with the original gather-path
+    oracle: same keypoint set (up to ties) and near-identical descriptors."""
+    from ssrlcv_tpu.config import SIFTParams
+    from ssrlcv_tpu.features.dense import generate_dense_sift
+
+    img = _texture(80, 96, seed=5)
+    params = SIFTParams()
+    fs_fast = generate_dense_sift(img, params, fast=True)
+    fs_ref = generate_dense_sift(img, params, fast=False)
+
+    def rows(fs):
+        m = np.asarray(fs.mask)
+        loc = np.asarray(fs.loc)[m]
+        th = np.asarray(fs.theta)[m]
+        desc = np.asarray(fs.descriptors)[m]
+        key = [(float(l[0]), float(l[1]), round(float(t), 3)) for l, t in zip(loc, th)]
+        return dict(zip(key, desc))
+
+    a, b = rows(fs_fast), rows(fs_ref)
+    common = set(a) & set(b)
+    # keypoint sets agree except borderline ties
+    assert len(common) > 0.995 * max(len(a), len(b)), (len(a), len(b), len(common))
+    dmax = 0.0
+    for k in common:
+        d = np.abs(a[k].astype(np.int32) - b[k].astype(np.int32))
+        dmax = max(dmax, float(d.max()))
+    # descriptors within the reference's own distProtocol tolerance class
+    assert dmax <= 3.0, dmax
