@@ -267,6 +267,9 @@ def descriptor_histograms(gx, gy, loc, theta, sigma, pixel_width,
 
     Same values (up to f32 reduction order + poly atan2) as the pre-
     normalisation einsum of descriptor.py's gather path.
+
+    pixel_width may be a scalar or a per-keypoint (K,) array (the per-blur
+    merged dispatch samples keypoints of all octaves off one canvas).
     """
     h, w = gx.shape
     spa = patch_rows(w_max)
@@ -278,7 +281,7 @@ def descriptor_histograms(gx, gy, loc, theta, sigma, pixel_width,
     cy = jnp.round(loc[:, 1]).astype(jnp.int32)
     y0 = jnp.clip((cy - (w_max + 1)) & ~7, 0, h - spa)
     x0 = jnp.clip((cx - 64) & ~127, 0, w - LW)
-    win = jnp.ceil(sigma * lambda_d / jnp.float32(pixel_width))
+    win = jnp.ceil(sigma * lambda_d / jnp.asarray(pixel_width, jnp.float32))
 
     def pad(x):
         return jnp.pad(x, (0, k_pad - k))

@@ -40,6 +40,17 @@ def max_desc_window(params: SIFTParams) -> int:
     return int(math.ceil(params.descriptor_contrib_width * ratio))
 
 
+def descriptor_epilogue(v: jax.Array, mask: jax.Array) -> jax.Array:
+    """Two-pass L2 normalise + 0.2 clamp + uint8 quantise of raw (K, 128)
+    histograms (SIFT_FeatureFactory.cu:533-545); dead slots zeroed."""
+    n1 = jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True))
+    v = jnp.minimum(v / jnp.maximum(n1, 1e-20), 0.2)
+    n2 = jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True))
+    v = jnp.round(255.0 * v / jnp.maximum(n2, 1e-20))
+    desc = jnp.clip(v, 0, 255).astype(jnp.uint8)
+    return jnp.where(mask[:, None], desc, 0)
+
+
 def fill_descriptors(
     grads: jax.Array,       # (B, H, W, 2) normalised-DoG gradients, or
                             # (H, W, 2) single plane when use_patches
@@ -76,12 +87,7 @@ def fill_descriptors(
             grads[..., 0], grads[..., 1], kps.loc, kps.theta, kps.sigma,
             float(pixel_width), float(params.descriptor_contrib_width),
             w_max, interpret=interp)
-        n1 = jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True))
-        v = jnp.minimum(v / jnp.maximum(n1, 1e-20), 0.2)
-        n2 = jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True))
-        v = jnp.round(255.0 * v / jnp.maximum(n2, 1e-20))
-        desc = jnp.clip(v, 0, 255).astype(jnp.uint8)
-        desc = jnp.where(kps.mask[:, None], desc, 0)
+        desc = descriptor_epilogue(v, kps.mask)
         return desc, kps.loc * pixel_width
     s = 2 * w_max + 1
     offs = jnp.arange(s, dtype=jnp.float32) - w_max

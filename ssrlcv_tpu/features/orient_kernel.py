@@ -124,6 +124,10 @@ def orientation_histograms(gx, gy, loc, sigma, pixel_width,
     plane coords; sigma: (K,).  Returns hist (K, 36) f32 — the same values
     (up to f32 reduction order) as the XLA _histogram_for_keypoints gather
     path, computed without any gather.
+
+    pixel_width may be a scalar or a per-keypoint (K,) array — the latter
+    lets one call serve keypoints from MULTIPLE octaves sampled off a
+    vertically-stacked gradient canvas (the per-blur merged dispatch).
     """
     h, w = gx.shape
     spa = patch_rows(w_max)
@@ -134,7 +138,7 @@ def orientation_histograms(gx, gy, loc, sigma, pixel_width,
     cy = jnp.round(loc[:, 1]).astype(jnp.int32)
     y0 = jnp.clip((cy - (w_max + 1)) & ~7, 0, h - spa)
     x0 = jnp.clip((cx - 64) & ~127, 0, w - LW)
-    win = jnp.ceil(sigma * 3.0 * lambda_o / jnp.float32(pixel_width))
+    win = jnp.ceil(sigma * 3.0 * lambda_o / jnp.asarray(pixel_width, jnp.float32))
     denom = 2.0 * lambda_o * lambda_o * sigma * sigma
 
     def pad(x):

@@ -120,6 +120,29 @@ def _histogram_for_keypoints(
     return hist, valid
 
 
+def peaks_from_histograms(hist: jax.Array, valid: jax.Array, params: SIFTParams):
+    """Peak finding + parabola interpolation over (K, 36) histograms
+    (computeThetas:1075-1090): returns (top_theta, top_ok) each
+    (K, max_orientations), thetas in descending histogram magnitude."""
+    # circular neighbours
+    prev = jnp.roll(hist, 1, axis=1)
+    nxt = jnp.roll(hist, -1, axis=1)
+    maxh = jnp.max(hist, axis=1, keepdims=True) * params.orientation_threshold
+    is_peak = (hist >= maxh) & (hist >= prev) & (hist >= nxt)
+
+    denom = prev - 2.0 * hist + nxt
+    off = jnp.where(jnp.abs(denom) > 0, (prev - nxt) / denom, 0.0)
+    bcenters = jnp.arange(36, dtype=hist.dtype) * (jnp.pi / 18.0)
+    theta = jnp.mod(off * (jnp.pi / 36.0) + bcenters[None, :] + 2.0 * jnp.pi, 2.0 * jnp.pi)
+
+    mags = jnp.where(is_peak, hist, -jnp.inf)
+    top_mags, top_idx = jax.lax.top_k(mags, params.max_orientations)
+    top_theta = jnp.take_along_axis(theta, top_idx, axis=1)
+    # reference drops zero-magnitude slots (bestMagWThetas[i].x == 0)
+    top_ok = (top_mags > 0.0) & jnp.isfinite(top_mags) & valid[:, None]
+    return top_theta, top_ok
+
+
 def compute_orientations(
     grads: jax.Array,
     kps: SSKeyPoints,
@@ -148,24 +171,7 @@ def compute_orientations(
             params.orientation_contrib_width, w_max, use_patches=use_patches,
             w_patch=w_patch, use_kernel=use_kernel,
         )
-        # circular neighbours
-        prev = jnp.roll(hist, 1, axis=1)
-        nxt = jnp.roll(hist, -1, axis=1)
-        maxh = jnp.max(hist, axis=1, keepdims=True) * params.orientation_threshold
-        is_peak = (hist >= maxh) & (hist >= prev) & (hist >= nxt)
-
-        # parabola interpolation (computeThetas:1075-1090)
-        denom = prev - 2.0 * hist + nxt
-        off = jnp.where(jnp.abs(denom) > 0, (prev - nxt) / denom, 0.0)
-        bcenters = jnp.arange(36, dtype=hist.dtype) * (jnp.pi / 18.0)
-        theta = jnp.mod(off * (jnp.pi / 36.0) + bcenters[None, :] + 2.0 * jnp.pi, 2.0 * jnp.pi)
-
-        mags = jnp.where(is_peak, hist, -jnp.inf)
-        top_mags, top_idx = jax.lax.top_k(mags, params.max_orientations)
-        top_theta = jnp.take_along_axis(theta, top_idx, axis=1)
-        # reference drops zero-magnitude slots (bestMagWThetas[i].x == 0)
-        top_ok = (top_mags > 0.0) & jnp.isfinite(top_mags) & valid[:, None]
-        return top_theta, top_ok
+        return peaks_from_histograms(hist, valid, params)
 
     blur, loc, sigma, mask = kps.blur, kps.loc, kps.sigma, kps.mask
     n_chunks = (k + chunk - 1) // chunk
