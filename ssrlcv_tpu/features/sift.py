@@ -240,15 +240,18 @@ def _sift_detect_all(pixels, params: SIFTParams, height: int, width: int):
     return tuple(out)
 
 
-def _quantize_cap(n: int, lo: int = 512) -> int:
-    """Quantized keypoint capacity: round up to pow2(n)/8 granularity so
-    count-aware dispatches reuse at most 8 compiled variants per power-of-2
-    bracket (the persistent compile cache amortises them)."""
+def _quantize_cap(n: int, lo: int = 512, frac: int = 8) -> int:
+    """Quantized keypoint capacity: round up to pow2(n)/frac granularity so
+    count-aware dispatches reuse at most `frac` compiled variants per
+    power-of-2 bracket (the persistent compile cache amortises them).  The
+    descriptor dispatch uses frac=16: its kernel is the most expensive
+    per slot (~0.5 us even masked), so tighter caps pay for the extra
+    compiled variants."""
     n = max(int(n), 1)
     if n <= lo:
         return lo
     p = 1 << (n - 1).bit_length()
-    gran = max(lo // 2, p // 8)
+    gran = max(lo // 2, p // frac)
     return ((n + gran - 1) // gran) * gran
 
 
@@ -432,7 +435,7 @@ def _tpu_desc_phase(per_octave, outs, oriented, n_oris, image_id,
         ocap, (ori, _) = oriented[k]
         # n_ori <= 2*ocap (the orientation expansion bound), so the min
         # keeps dcap both >= n_ori and <= the oriented array's size
-        dcap = min(_quantize_cap(int(n_ori)), 2 * ocap)
+        dcap = min(_quantize_cap(int(n_ori), frac=16), 2 * ocap)
         out_cap = max(dcap, _bucket_capacity(params, o, b, height, width))
         outs[k] = _desc_bucket_kernel(
             ori, grads, params, int(b), dcap, w_d, pixel_width, out_cap)
