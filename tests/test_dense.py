@@ -125,3 +125,41 @@ def test_dense_sift_fast_matches_gather_path():
         dmax = max(dmax, float(d.max()))
     # descriptors within the reference's own distProtocol tolerance class
     assert dmax <= 3.0, dmax
+
+
+def test_dense_describe_chunked_matches_unchunked(monkeypatch):
+    """The lax.map-chunked kernel dispatch (SMEM-bounded at dense scale)
+    assembles identical results to one unchunked call — exercised on CPU in
+    interpret mode with a shrunken chunk size."""
+    import jax.numpy as jnp
+    import ssrlcv_tpu.features.dense as D
+    from ssrlcv_tpu.config import SIFTParams
+
+    params = SIFTParams()
+    rng = np.random.default_rng(11)
+    h, w = 64, 256  # wide enough for the patch extractor (LW=256)
+    img = rng.integers(0, 255, (h, w)).astype(np.uint8)
+    from ssrlcv_tpu.ops import image_ops as ops
+
+    norm = ops.normalize_minmax(ops.to_float(jnp.asarray(img)))
+    grads = ops.pixel_gradients(norm)
+
+    cap = 1024
+    loc = jnp.stack([
+        jnp.asarray(rng.uniform(13, w - 14, cap), jnp.float32),
+        jnp.asarray(rng.uniform(13, h - 14, cap), jnp.float32),
+    ], axis=1)
+    theta = jnp.asarray(rng.uniform(0, 2 * np.pi, cap), jnp.float32)
+    mask = jnp.asarray(rng.random(cap) < 0.9)
+
+    one = D._dense_describe(grads, loc, theta, mask, jnp.int32(0),
+                            params, 6, True)
+    monkeypatch.setattr(D, "DENSE_DESC_CHUNK", 256)
+    D._dense_describe.clear_cache()
+    chunked = D._dense_describe(grads, loc, theta, mask, jnp.int32(0),
+                                params, 6, True)
+    D._dense_describe.clear_cache()
+    np.testing.assert_array_equal(np.asarray(one.descriptors),
+                                  np.asarray(chunked.descriptors))
+    np.testing.assert_array_equal(np.asarray(one.mask), np.asarray(chunked.mask))
+    np.testing.assert_allclose(np.asarray(one.loc), np.asarray(chunked.loc))
