@@ -82,7 +82,7 @@ def main():
             ori, n_ori = S._orient_bucket_kernel(
                 kps, grads, params, int(b), ocap, w_o, pixel_width)
             n_ori = int(np.asarray(n_ori))
-            dcap = min(S._quantize_cap(n_ori), 2 * ocap)
+            dcap = min(S._quantize_cap(n_ori, frac=16), 2 * ocap)
             out_cap = max(dcap, S._bucket_capacity(params, o, b, h, w))
             dtd = t(lambda: S._desc_bucket_kernel(
                 ori, grads, params, int(b), dcap, w_d, pixel_width, out_cap))

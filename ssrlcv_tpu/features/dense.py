@@ -78,16 +78,10 @@ def _dense_orientation_field(grads, params: SIFTParams, w_or: int, h: int, w: in
     planes = []
     for bi in range(36):
         f = jnp.where(bins == bi, mag, 0.0)
-        # zero-border separable conv via shifted adds; interior pixels have
-        # full in-image windows so the border mode is unobservable for them
-        padx = jnp.pad(f, ((0, 0), (w_or, w_or)))
-        x = jnp.zeros_like(f)
-        for t, tap in enumerate(taps):
-            x = x + np.float32(tap) * jax.lax.slice(padx, (0, t), (h, t + w))
-        pady = jnp.pad(x, ((w_or, w_or), (0, 0)))
-        y = jnp.zeros_like(f)
-        for t, tap in enumerate(taps):
-            y = y + np.float32(tap) * jax.lax.slice(pady, (t, 0), (t + h, w))
+        # shared shifted-add separable conv; the border mode is unobservable
+        # for interior pixels (border=12 > w_or=5), which are all this field
+        # is sliced to below
+        y = ops.convolve_separable_symmetric(f, taps)
         planes.append(y[b : h - b, b : w - b])
     hist = jnp.stack(planes)  # (36, Hi, Wi) — bin-major: a trailing 36-lane
     # axis would tile-pad ~3.5x, and all per-bin math is elementwise anyway
@@ -132,17 +126,34 @@ def _dense_orientation_field(grads, params: SIFTParams, w_or: int, h: int, w: in
 def _dense_compact(theta_f, ok_f, params: SIFTParams, h: int, w: int, cap: int):
     """Device-side stable compaction of the oriented dense field into
     fixed-capacity keypoint arrays (loc, theta, mask) — the interior grid is
-    rebuilt on device (iota), so nothing crosses the host link."""
+    rebuilt on device (iota), so nothing crosses the host link.
+
+    Compaction is ONE multi-operand lax.sort on position-or-sentinel keys
+    (no argsort + flat gathers — at ~2M dense slots the ~100 Melem/s gather
+    path would cost tens of ms).  cap may exceed the slot count (chunk
+    alignment at near-saturated images): inputs are padded first so the
+    [:cap] slices always have cap rows."""
     b = params.border
     m = params.max_orientations
     wi = w - 2 * b
     hi = h - 2 * b
     xs = jnp.broadcast_to(jnp.arange(b, w - b, dtype=jnp.float32)[None, :], (hi, wi))
     ys = jnp.broadcast_to(jnp.arange(b, h - b, dtype=jnp.float32)[:, None], (hi, wi))
-    loc = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=1)  # (N, 2)
-    loc = jnp.repeat(loc, m, axis=0)
-    order = jnp.argsort(~ok_f, stable=True)[:cap]
-    return loc[order], theta_f[order], ok_f[order]
+    loc_x = jnp.repeat(xs.reshape(-1), m)
+    loc_y = jnp.repeat(ys.reshape(-1), m)
+    n = theta_f.shape[0]
+    if cap > n:
+        pad = cap - n
+        theta_f = jnp.pad(theta_f, (0, pad))
+        ok_f = jnp.pad(ok_f, (0, pad))
+        loc_x = jnp.pad(loc_x, (0, pad))
+        loc_y = jnp.pad(loc_y, (0, pad))
+        n = cap
+    key = jnp.where(ok_f, jnp.arange(n, dtype=jnp.int32), jnp.int32(2**31 - 1))
+    _, lx, ly, th, ok = jax.lax.sort(
+        (key, loc_x, loc_y, theta_f, ok_f), dimension=0, num_keys=1,
+        is_stable=True)
+    return (jnp.stack([lx[:cap], ly[:cap]], axis=1), th[:cap], ok[:cap])
 
 
 # Keypoints per Pallas descriptor dispatch on the dense path: the kernel's
@@ -235,15 +246,19 @@ def generate_dense_sift(
 
         on_tpu = jax.devices()[0].platform not in ("cpu",)
         w_pad = max(256, ((w + 127) // 128) * 128)
-        use_kernel = on_tpu and patches_supported(h, w_pad, w_de)
+        h_pad = ((h + 7) // 8) * 8
+        use_kernel = on_tpu and patches_supported(h_pad, w_pad, w_de)
         if use_kernel and cap > DENSE_DESC_CHUNK:
             # chunked kernel dispatch needs a chunk-aligned capacity
             cap = ((cap + DENSE_DESC_CHUNK - 1) // DENSE_DESC_CHUNK) * DENSE_DESC_CHUNK
         loc, theta, mask = _dense_compact(theta_f, ok_f, params, h, w, cap)
-        if use_kernel and w_pad != w:
-            # the patch kernel's lane-tile interleave needs W % 128 == 0;
-            # the zero pad is never sampled (interior keypoints only)
-            grads_plane = jnp.pad(grads_plane, ((0, 0), (0, w_pad - w), (0, 0)))
+        if use_kernel and (w_pad != w or h_pad != h):
+            # the patch kernel's lane-tile interleave needs W % 128 == 0, and
+            # the bottom-band DMA clip (y0 <= H - spa) needs H % 8 == 0 so
+            # every clipped start stays 8-row aligned; the zero pad is never
+            # sampled (interior keypoints only)
+            grads_plane = jnp.pad(
+                grads_plane, ((0, h_pad - h), (0, w_pad - w), (0, 0)))
         return _dense_describe(grads_plane, loc, theta, mask,
                                jnp.int32(image_id), params, w_de, use_kernel,
                                chunk=chunk)

@@ -164,14 +164,7 @@ def fill_descriptors(
         )  # (C, 16, 8) — c:=chunk index s, b:=cell, k:=angle bin
         v = hist.reshape(hist.shape[0], 128)
 
-        # two-pass normalise + clamp (SIFT_FeatureFactory.cu:533-545)
-        n1 = jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True))
-        v = jnp.minimum(v / jnp.maximum(n1, 1e-20), 0.2)
-        n2 = jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True))
-        v = jnp.round(255.0 * v / jnp.maximum(n2, 1e-20))
-        desc = jnp.clip(v, 0, 255).astype(jnp.uint8)
-        desc = jnp.where(mask[:, None], desc, 0)
-        return desc
+        return descriptor_epilogue(v, mask)
 
     k = kps.capacity
     n_chunks = (k + chunk - 1) // chunk

@@ -92,14 +92,16 @@ def detect_extrema(
     # only the survivors — measured 30 ms vs 63 ms for the full sort at the
     # 16.7M octave-0 stack, identical output.  Exact while no segment holds
     # > ROW_M extrema; post-prefilter density on the everest fixtures is
-    # ~1.3 per segment MEAN and 12 WORST-CASE (measured over both images),
-    # so ROW_M = 64 keeps >5x worst-observed headroom while making the
-    # survivor sort 4x smaller than ROW_M = 256 (detect 96 -> 91 ms on
-    # chip).  An overflowing segment degrades exactly like the existing
-    # capacity truncation (tail keypoints of that segment drop).
+    # ~1.3 per segment MEAN and 12 WORST-CASE (measured over both images).
+    # ROW_M = 128 keeps ~10x worst-observed headroom (TIE extrema can be
+    # locally dense on periodic/synthetic textures, so it is NOT shrunk to
+    # the fixture worst case) while halving the survivor sort vs ROW_M=256
+    # (detect ~96 -> ~92 ms on chip).  An overflowing segment degrades
+    # exactly like the existing capacity truncation (tail keypoints of that
+    # segment drop).
     n = flat.shape[0]
     key = jnp.where(flat, jnp.arange(n, dtype=jnp.int32), jnp.int32(2**31 - 1))
-    ROW, ROW_M = 1024, 64
+    ROW, ROW_M = 1024, 128
     if n >= (1 << 20):
         r = -(-n // ROW)
         keyp = jnp.pad(key, (0, r * ROW - n), constant_values=jnp.int32(2**31 - 1))
